@@ -1,0 +1,92 @@
+"""Headline benchmark: convex-MPC solves/s on one chip.
+
+Runs the FULL Min-mode control step (estimator -> gait -> foot placement ->
+condensed QP build -> batched ADMM solve -> leg torques) for a batch of
+robots in lockstep, where every MPC tick solves the QP for every robot, and
+reports steady-state MPC solves per second.
+
+Baseline: the reference does ~1k solves/s/core (1 ms qpOASES per solve,
+docs/2-development_log.md:62-73, BASELINE.md) with zero batching.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from rl_mpc_locomotion_tpu.control import runner
+from rl_mpc_locomotion_tpu.control.types import ControlConfig
+from rl_mpc_locomotion_tpu.models import robots
+from rl_mpc_locomotion_tpu.ops.qp import QPConfig
+
+BASELINE_SOLVES_PER_S = 1000.0  # reference: ~1 ms/solve qpOASES, 1 core
+
+
+def bench(batch: int = 4096, warmup: int = 3, iters: int = 10,
+          qp_cfg: QPConfig | None = None) -> dict:
+    params = robots.aliengo_params()
+    # production solver config: warm-started fixed-iteration ADMM
+    qp_cfg = qp_cfg or QPConfig(iters=25, iters2=0, adaptive_rho=False,
+                                polish=False, ruiz_iters=2)
+    cfg = ControlConfig(qp=qp_cfg)
+
+    state = jax.vmap(lambda _: runner.init_state(params, cfg))(
+        jnp.arange(batch))
+    dof_q = jnp.tile(jnp.array([0.0, 0.8, -1.6], jnp.float32),
+                     (batch, 4)).reshape(batch, 12)
+    dof_qd = jnp.zeros((batch, 12), jnp.float32)
+    body = jnp.tile(jnp.array([0, 0, 0.35, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0],
+                              jnp.float32), (batch, 1))
+    commands = jnp.tile(jnp.array([0.5, 0.0, 0.0], jnp.float32), (batch, 1))
+
+    @jax.jit
+    def two_ticks(state):
+        """One MPC period = 2 control ticks; the QP solves on the 2nd
+        (scalar-gated so the no-solve tick skips the QP entirely)."""
+        def tick(state, gate):
+            new_state, tau, _ = jax.vmap(
+                lambda s, q, qd, b, c: runner.min_step(
+                    params, cfg, s, q, qd, b, c, solve_gate=gate))(
+                state, dof_q, dof_qd, body, commands)
+            return new_state, tau
+        state, _ = tick(state, jnp.bool_(False))
+        state, tau = tick(state, jnp.bool_(True))
+        return state, tau
+
+    # align counters so the gated tick is the solve tick
+    state, _ = two_ticks(state)  # also compiles
+    for _ in range(warmup):
+        state, tau = two_ticks(state)
+    jax.block_until_ready(tau)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, tau = two_ticks(state)
+    jax.block_until_ready(tau)
+    dt = time.perf_counter() - t0
+
+    solves = batch * iters  # one QP solve per robot per MPC period
+    solves_per_s = solves / dt
+    period_ms = dt / iters * 1000.0
+    return {
+        "metric": "mpc_solves_per_s",
+        "value": round(solves_per_s, 1),
+        "unit": "solves/s/chip",
+        "vs_baseline": round(solves_per_s / BASELINE_SOLVES_PER_S, 2),
+        "detail": {
+            "batch": batch,
+            "mpc_period_ms": round(period_ms, 3),
+            "control_ticks_per_s": round(2 * batch * iters / dt, 1),
+            "realtime_budget_ms": 20.0,
+            "qp_iters": qp_cfg.iters,
+        },
+    }
+
+
+if __name__ == "__main__":
+    result = bench()
+    print(json.dumps(result))

@@ -1,0 +1,184 @@
+"""Command-line entry points: play / train / bench.
+
+Replaces RL_MPC_Locomotion.py (play, :13-130) and RL_Environment/train.py
+(:30-93). No Isaac Gym viewer — `play` runs the closed-loop JAX sim headless
+and streams state telemetry (optionally to the native logger); `train` runs
+on-device PPO; `bench` is the perf harness.
+
+Usage:
+  python -m rl_mpc_locomotion_tpu.cli play --robot Aliengo --mode Min \
+      --num-envs 4 --gait trot --vx 0.5 --seconds 5
+  python -m rl_mpc_locomotion_tpu.cli train --task Aliengo --num-envs 512 \
+      --max-iterations 1000 --checkpoint runs/aliengo
+  python -m rl_mpc_locomotion_tpu.cli bench --batch 4096
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+ROBOT_IDS = {"aliengo": 0, "go1": 1, "a1": 2}
+GAIT_IDS = {"trot": 0, "bound": 1, "pronk": 2, "pace": 3, "gallop": 5,
+            "walk": 6, "trotrun": 7}
+MODES = ("Min", "Fsm", "Policy")
+TERRAINS = ("flat", "slope", "stairs", "rough", "uneven")
+
+
+def _make_terrain(name: str):
+    from .sim import terrain
+    return {
+        "flat": terrain.flat,
+        "slope": terrain.slope_platform,
+        "stairs": terrain.stairs,
+        "rough": terrain.random_uniform,
+        "uneven": terrain.uneven_patches,
+    }[name]()
+
+
+def cmd_play(args):
+    import jax
+    import jax.numpy as jnp
+
+    from .control import runner
+    from .control.types import ControlConfig
+    from .models import robots
+    from .sim import physics, terrain as terrain_mod
+
+    params = {"aliengo": robots.aliengo_params, "go1": robots.go1_params,
+              "a1": robots.a1_params}[args.robot.lower()]()
+    cfg = ControlConfig(flat_ground=(args.terrain == "flat"))
+    pcfg = physics.PhysicsConfig()
+    ter = _make_terrain(args.terrain)
+    gait_id = GAIT_IDS[args.gait.lower()]
+    commands = jnp.array([args.vx, args.vy, args.yaw_rate], jnp.float32)
+
+    n = args.num_envs
+    q0 = jnp.tile(jnp.array([0.0, 0.8, -1.6], jnp.float32), 4)
+    pstate = jax.vmap(lambda _: physics.init_state(params, q0, 0.37))(
+        jnp.arange(n))
+    cstate = jax.vmap(lambda _: runner.init_state(params, cfg))(jnp.arange(n))
+
+    if args.mode == "Policy":
+        from .control.weight_policy import WeightPolicy
+        policy = WeightPolicy(checkpoint=args.checkpoint)
+    else:
+        policy = None
+
+    @jax.jit
+    def tick(pstate, cstate, weights):
+        def one(ps, cs, w):
+            body = physics.root_state_vector(ps)
+            if args.mode == "Fsm":
+                from .control import fsm, leg_controller, state_estimator
+                leg_data = leg_controller.update_data(params, ps.q, ps.qd)
+                se = state_estimator.update(cs.est, body)
+                cs, cmds, _, m = fsm.fsm_step(
+                    params, cfg, cs, se, leg_data, commands,
+                    params.mpc_weights, jnp.int32(gait_id),
+                    jnp.int32(1), jnp.int32(0))
+                tau = leg_controller.compute_torques(cmds, leg_data)
+            else:
+                cs, tau, m = runner.min_step(
+                    params, cfg, cs, ps.q, ps.qd, body, commands,
+                    mpc_weights=w, gait_id=gait_id)
+            ps, _, _ = physics.step(params, pcfg, ter, ps, tau)
+            return ps, cs, m
+        if weights is None:
+            weights = jnp.tile(params.mpc_weights, (n, 1))
+        return jax.vmap(one)(pstate, cstate, weights)
+
+    ticks = int(args.seconds / cfg.dt)
+    t0 = time.time()
+    for t in range(ticks):
+        weights = None
+        if policy is not None:
+            weights = policy.step_batch(pstate, cstate, commands)
+        pstate, cstate, metrics = tick(pstate, cstate, weights)
+        if t % args.log_every == 0:
+            pos = np.asarray(pstate.pos)
+            print(f"t={t * cfg.dt:6.2f}s  env0 pos="
+                  f"[{pos[0, 0]:+.2f} {pos[0, 1]:+.2f} {pos[0, 2]:+.3f}] "
+                  f"vx={float(pstate.v[0, 0]):+.2f} "
+                  f"com_z={float(metrics['com_z'][0]):.3f}")
+    wall = time.time() - t0
+    print(f"[play] {ticks} ticks x {n} envs in {wall:.1f}s "
+          f"({ticks * n / wall:.0f} robot-ticks/s, "
+          f"{'real-time' if ticks * cfg.dt <= wall else 'faster than real-time'})")
+
+
+def cmd_train(args):
+    from .models import robots
+    from .rl import train as train_mod
+    from .rl.ppo import PPOConfig
+    from .sim.env import EnvConfig
+
+    params = {"aliengo": robots.aliengo_params, "go1": robots.go1_params,
+              "a1": robots.a1_params}[args.task.lower()]()
+    cfg = train_mod.TrainConfig(
+        num_envs=args.num_envs,
+        max_iterations=args.max_iterations,
+        seed=args.seed,
+        ppo=PPOConfig(),
+        env=EnvConfig(),
+    )
+    mesh = None
+    if args.multi_device:
+        import jax
+        from jax.sharding import Mesh
+        import jax.numpy as jnp
+        mesh = Mesh(jnp.array(jax.devices()).reshape(-1), ("env",))
+    ter = _make_terrain(args.terrain)
+    train_mod.train(params, cfg, ter, mesh=mesh,
+                    checkpoint_dir=args.checkpoint,
+                    max_iterations=args.max_iterations)
+
+
+def cmd_bench(args):
+    sys.path.insert(0, ".")
+    from bench import bench
+    print(json.dumps(bench(batch=args.batch)))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="rl_mpc_locomotion_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pp = sub.add_parser("play", help="run controllers in the JAX sim")
+    pp.add_argument("--robot", default="Aliengo",
+                    choices=["Aliengo", "A1", "Go1", "aliengo", "a1", "go1"])
+    pp.add_argument("--mode", default="Min", choices=MODES)
+    pp.add_argument("--num-envs", type=int, default=1)
+    pp.add_argument("--gait", default="trot", choices=list(GAIT_IDS))
+    pp.add_argument("--terrain", default="flat", choices=TERRAINS)
+    pp.add_argument("--vx", type=float, default=0.5)
+    pp.add_argument("--vy", type=float, default=0.0)
+    pp.add_argument("--yaw-rate", type=float, default=0.0)
+    pp.add_argument("--seconds", type=float, default=5.0)
+    pp.add_argument("--log-every", type=int, default=50)
+    pp.add_argument("--checkpoint", default=None)
+    pp.set_defaults(fn=cmd_play)
+
+    pt = sub.add_parser("train", help="PPO weight-policy training")
+    pt.add_argument("--task", default="Aliengo")
+    pt.add_argument("--num-envs", type=int, default=512)
+    pt.add_argument("--max-iterations", type=int, default=5000)
+    pt.add_argument("--seed", type=int, default=1)
+    pt.add_argument("--terrain", default="flat", choices=TERRAINS)
+    pt.add_argument("--checkpoint", default=None)
+    pt.add_argument("--multi-device", action="store_true")
+    pt.set_defaults(fn=cmd_train)
+
+    pb = sub.add_parser("bench", help="MPC solves/s benchmark")
+    pb.add_argument("--batch", type=int, default=4096)
+    pb.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,220 @@
+"""Single-rigid-body MPC dynamics: linearization, exact discretization, and
+dense QP condensation — pure jnp, fully vmappable.
+
+This replaces the Eigen pipeline in the reference's native solver
+(convex_MPC/mpc_osqp.cc): CalculateAMat (:299-322), CalculateBMat (:324-336),
+CalculateExponentials (:338-351), CalculateQpMats (:353-435), the state /
+desired-state assembly (:630-659) and constraint bounds (:449-477).
+
+TPU-first design notes:
+- The reference computes exp([A B; 0 0] dt) with a dense 25x25 Padé expm. The
+  continuous A here is *nilpotent* (A^3 = 0: gravity->velocity->position and
+  omega->rpy are the only couplings), so the matrix exponential has an exact
+  closed form:  A_exp = I + A dt + A^2 dt^2/2,
+                B_exp = (I dt + A dt^2/2 + A^2 dt^3/6) B.
+  No iteration, no Padé — three matmuls, exact to fp precision.
+- The condensed Hessian is built as one batched triple product
+  P = 2 B_qp^T diag(w) B_qp + alpha I rather than the reference's O(h^2)
+  block recursion (mpc_osqp.cc:353-435): on the MXU a single (120x130)x
+  (130x120) matmul beats any blockwise scalar recursion.
+
+State layout (13): (roll, pitch, yaw, x, y, z, wx, wy, wz, vx, vy, vz, -g),
+mpc_osqp.cc:126-132.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .rotations import rpy_to_rot, skew
+
+STATE_DIM = 13
+ACTION_DIM = 12  # 4 legs x 3D GRF
+GRAVITY = 9.8  # mpc_osqp.cc:54
+F_MAX_SCALE = 10.0  # mpc_osqp.cc:55
+F_MIN_SCALE = 0.1   # mpc_osqp.cc:56
+
+
+def build_a_mat(rpy, ground_normal):
+    """Continuous-time A (13x13). mpc_osqp.cc:299-322.
+
+    Rows 0-2: angular velocity -> rpy rate (yaw/pitch trig); rows 3-5:
+    velocity; rows 9-11: gravity column scaled by the ground normal
+    (slope-aware gravity).
+    """
+    cy, sy = jnp.cos(rpy[2]), jnp.sin(rpy[2])
+    cp, tp = jnp.cos(rpy[1]), jnp.tan(rpy[1])
+    w2rpy = jnp.stack([
+        jnp.stack([cy / cp, sy / cp, jnp.zeros_like(cy)]),
+        jnp.stack([-sy, cy, jnp.zeros_like(cy)]),
+        jnp.stack([cy * tp, sy * tp, jnp.ones_like(cy)]),
+    ])
+    a = jnp.zeros((STATE_DIM, STATE_DIM), jnp.float32)
+    a = a.at[0:3, 6:9].set(w2rpy)
+    a = a.at[3, 9].set(1.0)
+    a = a.at[4, 10].set(1.0)
+    a = a.at[5, 11].set(1.0)
+    a = a.at[9:12, 12].set(ground_normal)
+    return a
+
+
+def build_b_mat(inv_mass, inv_inertia_world, foot_positions_world):
+    """Continuous-time B (13x12). mpc_osqp.cc:324-336.
+
+    Rows 6-8: I_w^-1 [r_i]x per leg; rows 9-11: 1/m on the diagonal.
+    """
+    b = jnp.zeros((STATE_DIM, ACTION_DIM), jnp.float32)
+    for i in range(4):  # static 4-leg unroll
+        b = b.at[6:9, 3 * i:3 * i + 3].set(inv_inertia_world @ skew(foot_positions_world[i]))
+        b = b.at[9, 3 * i + 0].set(inv_mass)
+        b = b.at[10, 3 * i + 1].set(inv_mass)
+        b = b.at[11, 3 * i + 2].set(inv_mass)
+    return b
+
+
+def discretize_exact(a, b, dt):
+    """Exact ZOH discretization using nilpotency of A (A^3 == 0).
+
+    Replaces CalculateExponentials' 25x25 expm (mpc_osqp.cc:338-351) with the
+    closed form; exact because the only chains in A are
+    g -> v -> pos and omega -> rpy (length <= 2).
+    """
+    eye = jnp.eye(STATE_DIM, dtype=a.dtype)
+    a2 = a @ a
+    a_exp = eye + dt * a + (0.5 * dt * dt) * a2
+    int_exp = dt * eye + (0.5 * dt * dt) * a + (dt * dt * dt / 6.0) * a2
+    b_exp = int_exp @ b
+    return a_exp, b_exp
+
+
+def condense(a_exp, b_exp, horizon=10, compat_last_aqp_zero=True):
+    """Unroll X_{k+1} = A X_k + B u_k into [X_1..X_h] = A_qp x0 + B_qp U.
+
+    Returns (a_qp (h*13, 13), b_qp (h*13, h*12)).
+
+    ``compat_last_aqp_zero`` reproduces a quirk of the reference: its a_qp
+    fill loop stops one block early (mpc_osqp.cc:360-364, `i < horizon-1`),
+    leaving the final block row of A_qp zero. That zero propagates into the
+    gradient via state_diff (mpc_osqp.cc:681), so to match reference GRFs we
+    keep it; pass False for the mathematically-correct unroll.
+    """
+    powers = [a_exp]
+    for _ in range(horizon - 1):
+        powers.append(a_exp @ powers[-1])  # A^2 .. A^h
+    a_qp_blocks = list(powers)
+    if compat_last_aqp_zero:
+        a_qp_blocks[horizon - 1] = jnp.zeros_like(a_exp)
+    a_qp = jnp.concatenate(a_qp_blocks, axis=0)
+
+    # anb[k] = A^k B, k = 0..h-1 (mpc_osqp.cc:368-373)
+    anb = [b_exp]
+    for _ in range(horizon - 1):
+        anb.append(a_exp @ anb[-1])
+
+    # Lower-block-triangular B_qp: block (i, j) = A^(i-j) B for j <= i.
+    zero_blk = jnp.zeros_like(b_exp)
+    rows = []
+    for i in range(horizon):
+        row = [anb[i - j] if j <= i else zero_blk for j in range(horizon)]
+        rows.append(jnp.concatenate(row, axis=1))
+    b_qp = jnp.concatenate(rows, axis=0)
+    return a_qp, b_qp
+
+
+def build_qp_cost(a_qp, b_qp, x0, x_des, weights, alpha, horizon=10):
+    """Condensed dense QP cost: P = 2 B^T Q B + alpha I, q = 2 B^T Q (A x0 - xd).
+
+    Matches mpc_osqp.cc:430-434 exactly: the Hessian is doubled *before* the
+    alpha regularizer is added (so the diagonal gets alpha, not 2 alpha), and
+    the gradient is 2 B_qp^T Q (A_qp x0 - x_des) (:681-683).
+    """
+    w = jnp.tile(weights, horizon)  # (h*13,)
+    wb = w[:, None] * b_qp          # diag(w) @ B_qp
+    p_mat = 2.0 * (b_qp.T @ wb)
+    p_mat = p_mat + alpha * jnp.eye(b_qp.shape[1], dtype=b_qp.dtype)
+    state_diff = a_qp @ x0 - x_des
+    q_vec = 2.0 * (b_qp.T @ (w * state_diff))
+    return p_mat, q_vec
+
+
+def build_state_vec(rpy, position, omega, velocity):
+    """13-dim state (mpc_osqp.cc:630-633)."""
+    return jnp.concatenate([
+        rpy, position, omega, velocity, jnp.array([-GRAVITY], jnp.float32)
+    ])
+
+
+def build_desired_states(com_rpy, com_position, desired_position,
+                         desired_velocity, desired_rpy, desired_omega,
+                         dt, horizon=10):
+    """(h*13,) desired trajectory. mpc_osqp.cc:635-659.
+
+    Yaw and xy-position are integrated forward from the *current* yaw / xy by
+    dt*(i+1) times the commanded rates; z is held at the desired height; roll/
+    pitch and all rates are held; desired vz is 0.
+    """
+    i1 = (jnp.arange(horizon, dtype=jnp.float32) + 1.0) * dt  # (h,)
+    roll = jnp.full((horizon,), desired_rpy[0])
+    pitch = jnp.full((horizon,), desired_rpy[1])
+    yaw = com_rpy[2] + i1 * desired_omega[2]
+    x = com_position[0] + i1 * desired_velocity[0]
+    y = com_position[1] + i1 * desired_velocity[1]
+    z = jnp.full((horizon,), desired_position[2])
+    wx = jnp.full((horizon,), desired_omega[0])
+    wy = jnp.full((horizon,), desired_omega[1])
+    wz = jnp.full((horizon,), desired_omega[2])
+    vx = jnp.full((horizon,), desired_velocity[0])
+    vy = jnp.full((horizon,), desired_velocity[1])
+    vz = jnp.zeros((horizon,))
+    g = jnp.full((horizon,), -GRAVITY)
+    per_step = jnp.stack([roll, pitch, yaw, x, y, z, wx, wy, wz, vx, vy, vz, g],
+                         axis=1)  # (h, 13)
+    return per_step.reshape(-1)
+
+
+def friction_cone_block(mu):
+    """The 5x3 per-(leg,step) constraint block (mpc_osqp.cc:437-447):
+    4 friction-pyramid rows (+-fx + mu fz >= 0, +-fy + mu fz >= 0) and fz.
+    Identical for every leg/step — the whole constraint matrix is
+    block-diagonal with this block, which we exploit instead of materializing
+    the (200, 120) matrix.
+    """
+    return jnp.array([
+        [-1.0, 0.0, mu],
+        [1.0, 0.0, mu],
+        [0.0, -1.0, mu],
+        [0.0, 1.0, mu],
+        [0.0, 0.0, 1.0],
+    ], jnp.float32)
+
+
+def constraint_bounds(contact_table, mass, mu, horizon=10):
+    """(h*4*5,) lower/upper bounds. mpc_osqp.cc:449-477.
+
+    contact_table: (h, 4) in {0,1}. fz in [0.1, 10] * m*g * contact; friction
+    rows in [0, (mu+1) * fz_max * contact].
+    """
+    fz_max = mass * GRAVITY * F_MAX_SCALE
+    fz_min = mass * GRAVITY * F_MIN_SCALE
+    c = contact_table.reshape(horizon * 4)  # (h*4,)
+    lb = jnp.stack([jnp.zeros_like(c)] * 4 + [fz_min * c], axis=1)  # (h*4, 5)
+    fric_ub = (mu + 1.0) * fz_max * c
+    ub = jnp.stack([fric_ub] * 4 + [fz_max * c], axis=1)
+    return lb.reshape(-1), ub.reshape(-1)
+
+
+def apply_constraint(x, mu, horizon=10):
+    """C @ x without materializing C: x (h*12,) -> (h*4*5,).
+
+    C is block-diag of identical 5x3 blocks, so this is one shared-weight
+    matmul — MXU-friendly when batched over robots.
+    """
+    g = friction_cone_block(mu)  # (5,3)
+    xb = x.reshape(horizon * 4, 3)
+    return (xb @ g.T).reshape(-1)
+
+
+def apply_constraint_t(y, mu, horizon=10):
+    """C^T @ y: y (h*4*5,) -> (h*12,)."""
+    g = friction_cone_block(mu)
+    yb = y.reshape(horizon * 4, 5)
+    return (yb @ g).reshape(-1)

@@ -1,0 +1,143 @@
+"""Training driver: vectorized env + PPO, single- or multi-device.
+
+Equivalent of RL_Environment/train.py + rsl_rl's OnPolicyRunner.learn, as a
+pair of jitted functions:
+
+- ``make_train_step(...)`` -> one PPO iteration (rollout T steps over B
+  vmapped envs + update). With a mesh, the env batch is sharded over the
+  'env' axis and gradients are pmean'd over ICI inside shard_map.
+- ``train(...)`` -> the outer Python loop with logging + orbax checkpoints.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..models.actor_critic import ActorCritic
+from ..models.robots import RobotParams
+from ..parallel.mesh import ENV_AXIS
+from ..sim import env as env_mod
+from ..sim import terrain as terrain_mod
+from . import ppo
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    num_envs: int = 512
+    max_iterations: int = 5000
+    save_interval: int = 100
+    seed: int = 1
+    ppo: ppo.PPOConfig = ppo.PPOConfig()
+    env: env_mod.EnvConfig = env_mod.EnvConfig()
+
+
+def make_env_fns(params: RobotParams, cfg: TrainConfig,
+                 ter: terrain_mod.Terrain):
+    """Vectorized (reset, step) over the env batch. The MPC solve gate is a
+    *scalar* derived from the global tick so lax.cond skips the QP on
+    non-solve ticks for the whole batch."""
+    ipm = cfg.env.control.iterations_between_mpc
+
+    def reset_batch(rng):
+        keys = jax.random.split(rng, cfg.num_envs)
+        state = jax.vmap(lambda k: env_mod.reset(params, cfg.env, k))(keys)
+        obs = jax.vmap(lambda s: env_mod.observations(params, cfg.env, s))(state)
+        return state, obs
+
+    def step_batch(state, actions, t):
+        # every env's counter is t (aligned on reset), so the gate is exact
+        gate = ((t + 1) % ipm) == 0
+        state, obs, rew, done, info = jax.vmap(
+            lambda s, a: env_mod.step(params, cfg.env, ter, s, a,
+                                      solve_gate=gate))(state, actions)
+        return state, obs, rew, done, info
+
+    return reset_batch, step_batch
+
+
+def make_train_step(params: RobotParams, cfg: TrainConfig,
+                    ter: terrain_mod.Terrain, model: ActorCritic,
+                    mesh=None):
+    reset_batch, step_batch = make_env_fns(params, cfg, ter)
+
+    def train_step(train_state: ppo.TrainState, env_state, obs, tick):
+        def env_step(es, actions, t):
+            return step_batch(es, actions, tick + t)
+
+        env_state, obs, rng, traj = ppo.rollout(
+            model, train_state.params, env_step, env_state, obs,
+            train_state.rng, cfg.ppo.num_steps)
+        train_state = train_state._replace(rng=rng)
+        _, _, last_value = model.apply(train_state.params, obs)
+
+        if mesh is not None:
+            grad_reduce = lambda g: jax.lax.pmean(g, ENV_AXIS)
+        else:
+            grad_reduce = lambda g: g
+        train_state, metrics = ppo.ppo_update(model, cfg.ppo, train_state,
+                                              traj, last_value, grad_reduce)
+        return train_state, env_state, obs, tick + cfg.ppo.num_steps, metrics
+
+    if mesh is None:
+        return jax.jit(train_step), reset_batch
+
+    # ---- sharded version: env batch split over the mesh, params replicated
+    env_spec = P(ENV_AXIS)
+    rep = P()
+
+    def sharded_step(train_state, env_state, obs, tick):
+        return train_step(train_state, env_state, obs, tick)
+
+    smapped = jax.shard_map(
+        sharded_step, mesh=mesh,
+        in_specs=(rep, env_spec, env_spec, rep),
+        out_specs=(rep, env_spec, env_spec, rep, rep),
+        check_vma=False)
+    return jax.jit(smapped), reset_batch
+
+
+def train(params: RobotParams, cfg: TrainConfig,
+          ter: Optional[terrain_mod.Terrain] = None, mesh=None,
+          log_fn=print, checkpoint_dir: Optional[str] = None,
+          max_iterations: Optional[int] = None):
+    """Outer training loop (OnPolicyRunner.learn equivalent)."""
+    if ter is None:
+        ter = terrain_mod.flat()
+    model = ActorCritic(num_actions=env_mod.NUM_ACTIONS)
+    rng = jax.random.PRNGKey(cfg.seed)
+    rng, init_key, env_key = jax.random.split(rng, 3)
+    train_state = ppo.init_train_state(init_key, model, env_mod.NUM_OBS,
+                                       cfg.ppo)
+    step_fn, reset_batch = make_train_step(params, cfg, ter, model, mesh)
+    env_state, obs = reset_batch(env_key)
+    if mesh is not None:
+        shard = NamedSharding(mesh, P(ENV_AXIS))
+        env_state = jax.tree.map(lambda x: jax.device_put(x, shard), env_state)
+        obs = jax.device_put(obs, shard)
+
+    tick = jnp.int32(0)
+    iters = max_iterations or cfg.max_iterations
+    history = []
+    t0 = time.time()
+    for it in range(iters):
+        train_state, env_state, obs, tick, metrics = step_fn(
+            train_state, env_state, obs, tick)
+        if it % 10 == 0 or it == iters - 1:
+            m = {k: float(v) for k, v in metrics.items()}
+            m["iter"] = it
+            m["steps_per_s"] = (cfg.ppo.num_steps * cfg.num_envs * (it + 1)
+                                / (time.time() - t0))
+            history.append(m)
+            log_fn(f"[train] it={it} reward/step={m['mean_reward']:.4f} "
+                   f"kl={m['kl']:.4f} lr={m['lr']:.2e} "
+                   f"sps={m['steps_per_s']:.0f}")
+        if checkpoint_dir and (it + 1) % cfg.save_interval == 0:
+            from ..utils.checkpoint import save_checkpoint
+            save_checkpoint(checkpoint_dir, it + 1, train_state)
+    return train_state, history

@@ -1,0 +1,130 @@
+"""Closed-form trace test: the vectorized f32 control step vs the scalar
+float64 oracle (tests/reference_oracle.py) over a multi-tick trajectory —
+the 'golden trace' strategy SURVEY §4 prescribes (config 1: Aliengo Min-mode
+trot, flat ground)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rl_mpc_locomotion_tpu.control import runner
+from rl_mpc_locomotion_tpu.control.types import ControlConfig
+from rl_mpc_locomotion_tpu.models import robots
+from rl_mpc_locomotion_tpu.ops.qp import QPConfig
+
+from reference_oracle import OracleController
+
+ACCURATE_QP = QPConfig(iters=100, iters2=100, adaptive_rho=True, polish=True)
+
+
+def synthetic_trajectory(n_ticks, seed=0):
+    """A plausible slowly-varying robot state stream (not a physics sim —
+    we are testing the controller as a function of its inputs)."""
+    rng = np.random.default_rng(seed)
+    base_q = np.tile([0.0, 0.8, -1.6], 4)
+    states = []
+    for t in range(n_ticks):
+        dof_q = base_q + 0.1 * np.sin(0.05 * t + np.arange(12))
+        dof_qd = 0.1 * np.cos(0.05 * t + np.arange(12))
+        rpy_pert = 0.03 * np.sin(0.02 * t + np.arange(3))
+        # quaternion from small rpy (xyzw)
+        from scipy.spatial.transform import Rotation
+        q_xyzw = Rotation.from_euler("xyz", rpy_pert).as_quat()
+        body = np.concatenate([
+            [0.01 * t, 0.0, 0.33 + 0.01 * np.sin(0.1 * t)],
+            q_xyzw,
+            [0.3 + 0.05 * np.sin(0.1 * t), 0.02 * np.cos(0.1 * t), 0.0],
+            [0.01, -0.01, 0.05 * np.sin(0.05 * t)],
+        ])
+        states.append((dof_q.astype(np.float32), dof_qd.astype(np.float32),
+                       body.astype(np.float32)))
+    return states
+
+
+class TestControlTraceParity:
+    def test_min_mode_trot_flat(self):
+        n_ticks = 12
+        commands = np.array([0.4, 0.1, 0.2], np.float32)
+        traj = synthetic_trajectory(n_ticks)
+
+        oracle = OracleController()
+        oracle_taus = [oracle.run(q.astype(float), qd.astype(float),
+                                  b.astype(float), commands.astype(float))
+                       for q, qd, b in traj]
+
+        params = robots.aliengo_params()
+        cfg = ControlConfig(qp=ACCURATE_QP, flat_ground=True)
+        state = runner.init_state(params, cfg)
+        step = jax.jit(lambda s, q, qd, b: runner.min_step(
+            params, cfg, s, q, qd, b, jnp.array(commands)))
+        ours = []
+        for q, qd, b in traj:
+            state, tau, metrics = step(state, jnp.array(q), jnp.array(qd),
+                                       jnp.array(b))
+            ours.append(np.asarray(tau))
+
+        for t, (got, want) in enumerate(zip(ours, oracle_taus)):
+            scale = max(1.0, np.abs(want).max())
+            err = np.abs(got - want).max()
+            assert err / scale < 2e-2, (
+                f"tick {t}: torque err {err:.4f} (scale {scale:.1f})\n"
+                f"got  {got.round(3)}\nwant {want.round(3)}")
+
+    def test_grf_parity_single_solve(self):
+        """GRF (f_ff) comparison right after the first MPC solve — the
+        BASELINE '<1e-3 GRF deviation' criterion on identical inputs."""
+        commands = np.array([0.5, 0.0, 0.0], np.float32)
+        traj = synthetic_trajectory(4, seed=3)
+        oracle = OracleController()
+        params = robots.aliengo_params()
+        cfg = ControlConfig(qp=ACCURATE_QP, flat_ground=True)
+        state = runner.init_state(params, cfg)
+        step = jax.jit(lambda s, q, qd, b: runner.min_step(
+            params, cfg, s, q, qd, b, jnp.array(commands)))
+        for t, (q, qd, b) in enumerate(traj):
+            oracle.run(q.astype(float), qd.astype(float), b.astype(float),
+                       commands.astype(float))
+            state, tau, metrics = step(state, jnp.array(q), jnp.array(qd),
+                                       jnp.array(b))
+            if t == 1:  # first solve tick (counter 2 % 2 == 0)
+                got = np.asarray(metrics["f_ff"])
+                want = oracle.f_ff
+                scale = max(1.0, np.abs(want).max())
+                assert np.abs(got - want).max() / scale < 2e-3, (
+                    f"GRF mismatch:\n{got}\nvs\n{want}")
+
+    def test_batch_heterogeneous_robots(self):
+        """A1+Go1+Aliengo in one vmapped batch (BASELINE config 3)."""
+        registry = robots.robot_registry()
+        ids = jnp.array([0, 1, 2, 0], jnp.int32)
+        cfg = ControlConfig(qp=QPConfig(iters=20, iters2=0,
+                                        adaptive_rho=False, polish=False,
+                                        ruiz_iters=2))
+
+        def one(rid):
+            p = robots.select_robot(registry, rid)
+            return runner.init_state(p, cfg)
+
+        states = jax.vmap(one)(ids)
+        q = jnp.tile(jnp.array([0.0, 0.8, -1.6], jnp.float32), (4, 4)
+                     ).reshape(4, 12)
+        qd = jnp.zeros((4, 12), jnp.float32)
+        body = jnp.tile(jnp.array([0, 0, 0.3, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0],
+                                  jnp.float32), (4, 1))
+        cmds = jnp.tile(jnp.array([0.3, 0.0, 0.0], jnp.float32), (4, 1))
+
+        @jax.jit
+        def step(states):
+            def one_step(rid, s, q1, qd1, b1, c1):
+                p = robots.select_robot(registry, rid)
+                return runner.min_step(p, cfg, s, q1, qd1, b1, c1)
+            return jax.vmap(one_step)(ids, states, q, qd, body, cmds)
+
+        for _ in range(4):
+            states, taus, metrics = step(states)
+        taus = np.asarray(taus)
+        assert taus.shape == (4, 12)
+        assert not np.any(np.isnan(taus))
+        # robots 0 and 3 are both Aliengo with identical inputs -> identical
+        np.testing.assert_allclose(taus[0], taus[3], atol=1e-5)
+        # different robots produce different torques
+        assert np.abs(taus[0] - taus[1]).max() > 0.1
