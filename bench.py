@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from rl_mpc_locomotion_tpu.control import runner
 from rl_mpc_locomotion_tpu.control.types import ControlConfig
 from rl_mpc_locomotion_tpu.models import robots
-from rl_mpc_locomotion_tpu.ops.qp import QPConfig
+from rl_mpc_locomotion_tpu.ops.qp import QPConfig, production_qp_config
 
 BASELINE_SOLVES_PER_S = 1000.0  # reference: ~1 ms/solve qpOASES, 1 core
 
@@ -29,9 +29,9 @@ BASELINE_SOLVES_PER_S = 1000.0  # reference: ~1 ms/solve qpOASES, 1 core
 def bench(batch: int = 4096, warmup: int = 3, iters: int = 10,
           qp_cfg: QPConfig | None = None) -> dict:
     params = robots.aliengo_params()
-    # production solver config: warm-started fixed-iteration ADMM
-    qp_cfg = qp_cfg or QPConfig(iters=25, iters2=0, adaptive_rho=False,
-                                polish=False, ruiz_iters=2)
+    # production solver config: warm-started fixed-iteration ADMM through
+    # the Pallas robots-in-lanes kernel
+    qp_cfg = qp_cfg or production_qp_config()
     cfg = ControlConfig(qp=qp_cfg)
 
     state = jax.vmap(lambda _: runner.init_state(params, cfg))(

@@ -68,36 +68,54 @@ def cmd_play(args):
     else:
         policy = None
 
+    passive_iters = jnp.zeros(n, jnp.int32)
+
     @jax.jit
-    def tick(pstate, cstate, weights):
-        def one(ps, cs, w):
+    def tick(pstate, cstate, passive_iters, weights, control_mode):
+        def one(ps, cs, pi, w):
             body = physics.root_state_vector(ps)
-            if args.mode == "Fsm":
-                from .control import fsm, leg_controller, state_estimator
-                leg_data = leg_controller.update_data(params, ps.q, ps.qd)
-                se = state_estimator.update(cs.est, body)
-                cs, cmds, _, m = fsm.fsm_step(
-                    params, cfg, cs, se, leg_data, commands,
-                    params.mpc_weights, jnp.int32(gait_id),
-                    jnp.int32(1), jnp.int32(0))
-                tau = leg_controller.compute_torques(cmds, leg_data)
+            if args.mode in ("Fsm", "Policy"):
+                cs, tau, pi, m = runner.fsm_step(
+                    params, cfg, cs, pi, ps.q, ps.qd, body, commands,
+                    mpc_weights=w, gait_id=gait_id,
+                    control_mode=control_mode)
             else:
                 cs, tau, m = runner.min_step(
                     params, cfg, cs, ps.q, ps.qd, body, commands,
                     mpc_weights=w, gait_id=gait_id)
             ps, _, _ = physics.step(params, pcfg, ter, ps, tau)
-            return ps, cs, m
+            return ps, cs, pi, m
         if weights is None:
             weights = jnp.tile(params.mpc_weights, (n, 1))
-        return jax.vmap(one)(pstate, cstate, weights)
+        return jax.vmap(one, in_axes=(0, 0, 0, 0))(pstate, cstate,
+                                                   passive_iters, weights)
 
     ticks = int(args.seconds / cfg.dt)
+    # unsafe handling mirrors RL_MPC_Locomotion.py:103-105: on the
+    # locomotionUnsafe flag, command RECOVERY_STAND for a while, then
+    # restore the requested mode.
+    control_mode = jnp.int32(1)  # LOCOMOTION
+    recovery_until = -1
     t0 = time.time()
     for t in range(ticks):
         weights = None
         if policy is not None:
             weights = policy.step_batch(pstate, cstate, commands)
-        pstate, cstate, metrics = tick(pstate, cstate, weights)
+        pstate, cstate, passive_iters, metrics = tick(
+            pstate, cstate, passive_iters, weights, control_mode)
+        if args.mode in ("Fsm", "Policy"):
+            unsafe = bool(np.any(np.asarray(
+                cstate.fsm.locomotion_unsafe)))
+            if unsafe and t > recovery_until:
+                print(f"[play] t={t * cfg.dt:.2f}s locomotion unsafe -> "
+                      "RECOVERY_STAND")
+                control_mode = jnp.int32(2)
+                recovery_until = t + int(2.0 / cfg.dt)
+                cstate = cstate._replace(fsm=cstate.fsm._replace(
+                    locomotion_unsafe=jnp.zeros_like(
+                        cstate.fsm.locomotion_unsafe)))
+            elif t == recovery_until:
+                control_mode = jnp.int32(1)
         if t % args.log_every == 0:
             pos = np.asarray(pstate.pos)
             print(f"t={t * cfg.dt:6.2f}s  env0 pos="
@@ -128,9 +146,9 @@ def cmd_train(args):
     mesh = None
     if args.multi_device:
         import jax
+        import numpy as np
         from jax.sharding import Mesh
-        import jax.numpy as jnp
-        mesh = Mesh(jnp.array(jax.devices()).reshape(-1), ("env",))
+        mesh = Mesh(np.array(jax.devices()).reshape(-1), ("env",))
     ter = _make_terrain(args.terrain)
     train_mod.train(params, cfg, ter, mesh=mesh,
                     checkpoint_dir=args.checkpoint,

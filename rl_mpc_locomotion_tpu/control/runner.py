@@ -51,3 +51,24 @@ def min_step(params: RobotParams, cfg: ControlConfig, state: ControlState,
     torques = leg_controller.compute_torques(cmds, leg_data)
     new_state = state._replace(est=new_est, loco=new_loco)
     return new_state, torques, metrics
+
+
+def fsm_step(params: RobotParams, cfg: ControlConfig, state: ControlState,
+             passive_iter, dof_q, dof_qd, body_state, commands,
+             mpc_weights: Optional[jnp.ndarray] = None,
+             gait_id=0, control_mode=1,
+             solve_gate: Optional[jnp.ndarray] = None):
+    """One 100 Hz FSM-mode control tick (RobotRunnerFSM.run :46-70).
+
+    Returns (new_state, torques, new_passive_iter, metrics)."""
+    from . import fsm as fsm_mod
+
+    weights = params.mpc_weights if mpc_weights is None else mpc_weights
+    leg_data = leg_controller.update_data(params, dof_q, dof_qd)
+    se = state_estimator.update(state.est, body_state)
+    new_state, cmds, passive_iter, metrics = fsm_mod.fsm_step(
+        params, cfg, state, se, leg_data, commands, weights,
+        jnp.asarray(gait_id, jnp.int32), jnp.asarray(control_mode, jnp.int32),
+        passive_iter, solve_gate)
+    torques = leg_controller.compute_torques(cmds, leg_data)
+    return new_state, torques, passive_iter, metrics

@@ -148,10 +148,14 @@ def init_locomotion_state(horizon: int = HORIZON) -> LocomotionState:
 
 
 def init_fsm_state(initial: int = 2) -> FSMStateData:
-    """Default initial state RECOVERY_STAND (Parameters.py:41)."""
+    """Default initial state RECOVERY_STAND (Parameters.py:41).
+
+    Starts in TRANSITIONING with next_state=initial so the first tick runs
+    the state's onEnter (ControlFSM.initialize calls onEnter eagerly,
+    ControlFSM.py:61-76; here it costs one zero-command tick)."""
     return FSMStateData(
         state=jnp.int32(initial),
-        op_mode=jnp.int32(0),
+        op_mode=jnp.int32(1),
         next_state=jnp.int32(initial),
         rc_flag=jnp.int32(1),
         rc_state_iter=jnp.int32(0),

@@ -34,6 +34,7 @@ iterations to remove the HBM round-trip per iteration.
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -52,6 +53,17 @@ class QPConfig(NamedTuple):
     polish: bool = True
     polish_delta: float = 1e-6
     active_tol: float = 1e-4
+    use_pallas: bool = False    # factor+iterate via the TPU Pallas kernel
+                                # when vmapped (ops/pallas/admm_kernel.py)
+
+
+def production_qp_config() -> "QPConfig":
+    """The validated real-time TPU configuration: warm-started 50-iteration
+    ADMM through the Pallas kernel; no adaptive restart or polish (accuracy
+    knobs for offline use — closed-loop walking is stable from ~40
+    iterations, tests/test_qp.py pins the tolerance)."""
+    return QPConfig(iters=50, iters2=0, adaptive_rho=False, polish=False,
+                    ruiz_iters=3, use_pallas=True)
 
 
 class QPState(NamedTuple):
@@ -149,6 +161,39 @@ def _spd_inverse(k_mat):
     return li.T @ li
 
 
+@functools.lru_cache(maxsize=None)
+def _make_scaled_solver(iters: int, sigma: float, relax: float,
+                        use_pallas: bool):
+    """Factor-and-iterate on the *scaled* problem as a custom-vmap op.
+
+    Single-robot calls use the XLA path (SPD inverse + fori ADMM). Under
+    vmap with use_pallas, the whole batch is routed to the robots-in-lanes
+    Pallas kernel — XLA's batched Cholesky is the bottleneck it replaces.
+    """
+
+    @jax.custom_batching.custom_vmap
+    def solve_scaled(k_mat, q_s, c_blocks, l_s, u_s, rho, x, z, y):
+        k_inv = _spd_inverse(k_mat)
+        return _admm_iters(k_inv, None, q_s, c_blocks, l_s, u_s, rho, sigma,
+                           relax, iters, x, z, y)
+
+    @solve_scaled.def_vmap
+    def _rule(axis_size, in_batched, k_mat, q_s, c_blocks, l_s, u_s, rho,
+              x, z, y):
+        args = [k_mat, q_s, c_blocks, l_s, u_s, rho, x, z, y]
+        args = [a if b else jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+                for a, b in zip(args, in_batched)]
+        if use_pallas:
+            from .pallas.admm_kernel import solve_scaled_batch
+            out = solve_scaled_batch(*args, iters=iters, sigma=sigma,
+                                     relax=relax)
+        else:
+            out = jax.vmap(lambda *a: solve_scaled.fun(*a))(*args)
+        return out, (True, True, True)
+
+    return solve_scaled
+
+
 def _admm_iters(k_inv, p_s, q_s, c_s, l_s, u_s, rho, sigma, relax, n_iters,
                 x, z, y):
     """Run n_iters fixed ADMM iterations (OSQP alg. 1) on scaled data."""
@@ -196,14 +241,13 @@ def _solve_qp_impl(p_mat, q_vec, c_blocks, lb, ub, state: QPState,
     z = e * state.z
     y = c_cost * (state.y / e)
 
-    def factor(rho):
+    def build_k(rho):
         k = p_s + cfg.sigma * jnp.eye(n, dtype=p_s.dtype)
-        k = _add_block_diag(k, _ct_diag_c(c_s, rho))
-        return _spd_inverse(k)
+        return _add_block_diag(k, _ct_diag_c(c_s, rho))
 
-    k_inv = factor(rho)
-    x, z, y = _admm_iters(k_inv, p_s, q_s, c_s, l_s, u_s, rho, cfg.sigma,
-                          cfg.relax, cfg.iters, x, z, y)
+    solver = _make_scaled_solver(cfg.iters, cfg.sigma, cfg.relax,
+                                 cfg.use_pallas)
+    x, z, y = solver(build_k(rho), q_s, c_s, l_s, u_s, rho, x, z, y)
 
     if cfg.adaptive_rho:
         # OSQP eq. (20): rho <- rho * sqrt(pri_res_rel / dua_res_rel)
@@ -221,9 +265,9 @@ def _solve_qp_impl(p_mat, q_vec, c_blocks, lb, ub, state: QPState,
         scale = jnp.sqrt(pri_rel / jnp.maximum(dua_rel, 1e-10))
         scale = jnp.clip(scale, 1e-2, 1e2)
         rho2 = jnp.clip(rho * scale, 1e-6, 1e6)
-        k_inv2 = factor(rho2)
-        x, z, y = _admm_iters(k_inv2, p_s, q_s, c_s, l_s, u_s, rho2, cfg.sigma,
-                              cfg.relax, cfg.iters2, x, z, y)
+        solver2 = _make_scaled_solver(cfg.iters2, cfg.sigma, cfg.relax,
+                                      cfg.use_pallas)
+        x, z, y = solver2(build_k(rho2), q_s, c_s, l_s, u_s, rho2, x, z, y)
 
     if cfg.polish:
         x = _polish(p_s, q_s, c_s, l_s, u_s, x, y, z, cfg)

@@ -23,6 +23,7 @@ mpc_osqp.cc:126-132.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .rotations import rpy_to_rot, skew
@@ -61,14 +62,18 @@ def build_b_mat(inv_mass, inv_inertia_world, foot_positions_world):
     """Continuous-time B (13x12). mpc_osqp.cc:324-336.
 
     Rows 6-8: I_w^-1 [r_i]x per leg; rows 9-11: 1/m on the diagonal.
+    Built from stacked blocks (no scatter ops — batches cleanly).
     """
-    b = jnp.zeros((STATE_DIM, ACTION_DIM), jnp.float32)
-    for i in range(4):  # static 4-leg unroll
-        b = b.at[6:9, 3 * i:3 * i + 3].set(inv_inertia_world @ skew(foot_positions_world[i]))
-        b = b.at[9, 3 * i + 0].set(inv_mass)
-        b = b.at[10, 3 * i + 1].set(inv_mass)
-        b = b.at[11, 3 * i + 2].set(inv_mass)
-    return b
+    skews = jax.vmap(skew)(foot_positions_world)                # (4,3,3)
+    torque = jnp.einsum('ij,ljk->ilk', inv_inertia_world, skews)  # (3,4,3)
+    torque_rows = torque.reshape(3, ACTION_DIM)
+    force_rows = jnp.tile(jnp.eye(3, dtype=jnp.float32), (1, 4)) * inv_mass
+    return jnp.concatenate([
+        jnp.zeros((6, ACTION_DIM), jnp.float32),
+        torque_rows,
+        force_rows,
+        jnp.zeros((1, ACTION_DIM), jnp.float32),
+    ], axis=0)
 
 
 def discretize_exact(a, b, dt):
@@ -97,26 +102,34 @@ def condense(a_exp, b_exp, horizon=10, compat_last_aqp_zero=True):
     gradient via state_diff (mpc_osqp.cc:681), so to match reference GRFs we
     keep it; pass False for the mathematically-correct unroll.
     """
-    powers = [a_exp]
-    for _ in range(horizon - 1):
-        powers.append(a_exp @ powers[-1])  # A^2 .. A^h
-    a_qp_blocks = list(powers)
+    # A^1..A^h and A^k B via scans (10 tiny matmuls each)
+    def power_step(prev, _):
+        nxt = a_exp @ prev
+        return nxt, prev
+
+    _, powers = jax.lax.scan(power_step, a_exp, None, length=horizon)
+    # powers[k] = A^(k+1)
     if compat_last_aqp_zero:
-        a_qp_blocks[horizon - 1] = jnp.zeros_like(a_exp)
-    a_qp = jnp.concatenate(a_qp_blocks, axis=0)
+        powers = powers.at[horizon - 1].set(0.0)
+    a_qp = powers.reshape(horizon * STATE_DIM, STATE_DIM)
 
+    def anb_step(prev, _):
+        nxt = a_exp @ prev
+        return nxt, prev
+
+    _, anb = jax.lax.scan(anb_step, b_exp, None, length=horizon)
     # anb[k] = A^k B, k = 0..h-1 (mpc_osqp.cc:368-373)
-    anb = [b_exp]
-    for _ in range(horizon - 1):
-        anb.append(a_exp @ anb[-1])
 
-    # Lower-block-triangular B_qp: block (i, j) = A^(i-j) B for j <= i.
-    zero_blk = jnp.zeros_like(b_exp)
-    rows = []
-    for i in range(horizon):
-        row = [anb[i - j] if j <= i else zero_blk for j in range(horizon)]
-        rows.append(jnp.concatenate(row, axis=1))
-    b_qp = jnp.concatenate(rows, axis=0)
+    # Lower-block-triangular B_qp: block (i, j) = A^(i-j) B for j <= i —
+    # assembled with one gather instead of h^2/2 dynamic-update-slices
+    # (which dominated the batched QP build cost).
+    i_idx = jnp.arange(horizon)[:, None]
+    j_idx = jnp.arange(horizon)[None, :]
+    delta = jnp.clip(i_idx - j_idx, 0, horizon - 1)      # (h, h)
+    blocks = anb[delta]                                   # (h, h, 13, 12)
+    blocks = jnp.where((i_idx >= j_idx)[:, :, None, None], blocks, 0.0)
+    b_qp = blocks.transpose(0, 2, 1, 3).reshape(horizon * STATE_DIM,
+                                                horizon * ACTION_DIM)
     return a_qp, b_qp
 
 

@@ -21,7 +21,8 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
-    return Mesh(jax.numpy.array(devices).reshape(-1), (ENV_AXIS,))
+    import numpy as np
+    return Mesh(np.array(devices).reshape(-1), (ENV_AXIS,))
 
 
 def shard_env_batch(mesh: Mesh, tree):

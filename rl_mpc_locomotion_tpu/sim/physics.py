@@ -44,7 +44,8 @@ class PhysicsConfig(NamedTuple):
     tau_limit: float = 55.0      # reference clips at +-55 Nm (aliengo.py:268)
     contact_kn: float = 15000.0  # normal spring
     contact_cn: float = 150.0    # normal damper
-    contact_kt: float = 300.0    # tangential damper (pre-clamp)
+    contact_kt: float = 4000.0   # tangential anchor spring (stiction)
+    contact_ct: float = 60.0     # tangential damper
     friction_mu: float = 1.0     # plane staticFriction (Aliengo.yaml:14)
     q_min: float = -3.5
     q_max: float = 3.5
@@ -57,6 +58,8 @@ class PhysState(NamedTuple):
     omega: jnp.ndarray     # (3,) world angular velocity
     q: jnp.ndarray         # (12,)
     qd: jnp.ndarray        # (12,)
+    anchor: jnp.ndarray    # (4,2) stick-slip friction anchors (world xy)
+    contact: jnp.ndarray   # (4,) bool: foot was in contact last substep
 
 
 def init_state(params: RobotParams, q0, height: float = 0.4) -> PhysState:
@@ -67,6 +70,8 @@ def init_state(params: RobotParams, q0, height: float = 0.4) -> PhysState:
         omega=jnp.zeros(3, jnp.float32),
         q=jnp.asarray(q0, jnp.float32),
         qd=jnp.zeros(12, jnp.float32),
+        anchor=jnp.zeros((4, 2), jnp.float32),
+        contact=jnp.zeros(4, bool),
     )
 
 
@@ -83,20 +88,41 @@ def foot_positions_world(params: RobotParams, state: PhysState):
     return p_world, p_body, jac, r_wb
 
 
-def _contact_force(cfg: PhysicsConfig, ter, p_w, v_w):
-    """Penalty contact force (world) at one point given its world velocity."""
+def _contact_force(cfg: PhysicsConfig, ter, p_w, v_w, anchor, was_contact):
+    """Stick-slip penalty contact at the feet.
+
+    Normal: spring-damper on penetration. Tangential: a spring to a per-foot
+    *anchor point* (true stiction — feet don't creep under sub-limit lateral
+    load) plus viscous damping, clamped to the Coulomb cone; on slip the
+    anchor is dragged so the spring force sits exactly on the cone
+    (PhysX-style penalty stiction).
+
+    Returns (force (4,3), in_contact (4,), new_anchor (4,2)).
+    """
     ground = terrain_mod.sample_height(ter, p_w[..., :2])
     pen = ground - p_w[..., 2]
     in_contact = pen > 0.0
     fz = jnp.maximum(cfg.contact_kn * pen - cfg.contact_cn * v_w[..., 2], 0.0)
     fz = jnp.where(in_contact, fz, 0.0)
-    ft = -cfg.contact_kt * v_w[..., :2]
+
+    xy = p_w[..., :2]
+    # (re)set anchor on touchdown or while airborne
+    fresh = jnp.logical_or(jnp.logical_not(was_contact),
+                           jnp.logical_not(in_contact))
+    anchor = jnp.where(fresh[..., None], xy, anchor)
+
+    ft = -cfg.contact_kt * (xy - anchor) - cfg.contact_ct * v_w[..., :2]
     ft_norm = jnp.linalg.norm(ft, axis=-1, keepdims=True)
     ft_max = cfg.friction_mu * fz[..., None]
-    ft = jnp.where(ft_norm > ft_max,
-                   ft * ft_max / jnp.maximum(ft_norm, 1e-9), ft)
-    ft = jnp.where(in_contact[..., None], ft, 0.0)
-    return jnp.concatenate([ft, fz[..., None]], axis=-1), in_contact
+    over = ft_norm > jnp.maximum(ft_max, 1e-9)
+    ft_clamped = jnp.where(over, ft * ft_max / jnp.maximum(ft_norm, 1e-9), ft)
+    # slip: drag the anchor so the spring alone would sit on the cone
+    anchor_slip = xy + ft_clamped / cfg.contact_kt
+    anchor = jnp.where(jnp.logical_and(over, in_contact[..., None]),
+                       anchor_slip, anchor)
+    ft_final = jnp.where(in_contact[..., None], ft_clamped, 0.0)
+    return (jnp.concatenate([ft_final, fz[..., None]], axis=-1), in_contact,
+            anchor)
 
 
 def substep(params: RobotParams, cfg: PhysicsConfig, ter, state: PhysState,
@@ -115,7 +141,8 @@ def substep(params: RobotParams, cfg: PhysicsConfig, ter, state: PhysState,
     v_foot = (state.v[None, :] + jnp.cross(state.omega[None, :], rel)
               + v_joint_body @ r_wb.T)
 
-    f_contact, in_contact = _contact_force(cfg, ter, p_world, v_foot)  # (4,3)
+    f_contact, in_contact, anchor = _contact_force(
+        cfg, ter, p_world, v_foot, state.anchor, state.contact)  # (4,3)
 
     # --- trunk dynamics -------------------------------------------------
     mass = params.body_mass
@@ -154,7 +181,8 @@ def substep(params: RobotParams, cfg: PhysicsConfig, ter, state: PhysState,
     q_new = jnp.clip(state.q + dt * qd_new, cfg.q_min, cfg.q_max)
 
     return PhysState(pos=pos, quat=quat, v=v, omega=omega, q=q_new,
-                     qd=qd_new), f_contact, in_contact
+                     qd=qd_new, anchor=anchor,
+                     contact=in_contact), f_contact, in_contact
 
 
 def step(params: RobotParams, cfg: PhysicsConfig, ter, state: PhysState,

@@ -1,0 +1,196 @@
+"""Environment + PPO tests: obs/reward/reset semantics, physics sanity,
+a full training step, and reward-improvement smoke."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rl_mpc_locomotion_tpu.control.types import ControlConfig
+from rl_mpc_locomotion_tpu.models import robots
+from rl_mpc_locomotion_tpu.models.actor_critic import ActorCritic
+from rl_mpc_locomotion_tpu.ops.qp import QPConfig
+from rl_mpc_locomotion_tpu.rl import ppo, train as train_mod
+from rl_mpc_locomotion_tpu.sim import env as env_mod
+from rl_mpc_locomotion_tpu.sim import physics, terrain
+
+CHEAP_QP = QPConfig(iters=8, iters2=0, adaptive_rho=False, polish=False,
+                    ruiz_iters=1)
+FAST_ENV = env_mod.EnvConfig(control=ControlConfig(qp=CHEAP_QP))
+
+
+def make_env():
+    params = robots.aliengo_params()
+    ter = terrain.flat(extent=20.0, cell=0.2)
+    return params, FAST_ENV, ter
+
+
+class TestEnv:
+    def test_reset_shapes_and_ranges(self):
+        params, cfg, ter = make_env()
+        state = env_mod.reset(params, cfg, jax.random.PRNGKey(0))
+        obs = env_mod.observations(params, cfg, state)
+        assert obs.shape == (env_mod.NUM_OBS,)
+        assert cfg.command_x_range[0] <= float(state.commands[0]) <= \
+            cfg.command_x_range[1]
+        # dof pos is default * U[0.5, 1.5]; skip abad joints (default 0)
+        default = np.asarray(env_mod.DEFAULT_DOF_POS)
+        nonzero = np.abs(default) > 1e-6
+        ratio = np.asarray(state.phys.q)[nonzero] / default[nonzero]
+        assert np.all(ratio >= 0.5 - 1e-6) and np.all(ratio <= 1.5 + 1e-6)
+
+    def test_step_runs_and_is_finite(self):
+        params, cfg, ter = make_env()
+        state = env_mod.reset(params, cfg, jax.random.PRNGKey(1))
+        step = jax.jit(lambda s, a: env_mod.step(params, cfg, ter, s, a))
+        action = jnp.zeros(12)
+        for _ in range(5):
+            state, obs, rew, done, info = step(state, action)
+        assert np.isfinite(np.asarray(obs)).all()
+        assert np.isfinite(float(rew))
+        assert np.asarray(info["torques"]).shape == (12,)
+
+    def test_action_rescale_matches_reference_mapping(self):
+        # Parameters.py:25-33: [-1,1] -> scale*a + const, +0 placeholder
+        w = np.asarray(env_mod.rescale_actions(jnp.ones(12)))
+        np.testing.assert_allclose(w[:6], [9, 9, 9, 70, 70, 70], atol=1e-6)
+        np.testing.assert_allclose(w[12], 0.0)
+        w = np.asarray(env_mod.rescale_actions(-jnp.ones(12)))
+        np.testing.assert_allclose(w[:6], [1, 1, 1, 30, 30, 30], atol=1e-6)
+        # clipping
+        w = np.asarray(env_mod.rescale_actions(jnp.full(12, 5.0)))
+        np.testing.assert_allclose(w[3], 70, atol=1e-6)
+
+    def test_episode_timeout_resets(self):
+        params, cfg, ter = make_env()
+        import dataclasses
+        cfg = dataclasses.replace(cfg, episode_length=3)
+        state = env_mod.reset(params, cfg, jax.random.PRNGKey(2))
+        step = jax.jit(lambda s, a: env_mod.step(params, cfg, ter, s, a))
+        dones = []
+        for _ in range(6):
+            state, obs, rew, done, info = step(state, jnp.zeros(12))
+            dones.append(bool(done))
+        assert any(dones)
+        # after reset, progress restarted
+        assert int(state.progress) <= 4
+
+    def test_vmapped_batch(self):
+        params, cfg, ter = make_env()
+        keys = jax.random.split(jax.random.PRNGKey(3), 4)
+        states = jax.vmap(lambda k: env_mod.reset(params, cfg, k))(keys)
+        step = jax.jit(jax.vmap(
+            lambda s, a: env_mod.step(params, cfg, ter, s, a)))
+        actions = jnp.zeros((4, 12))
+        states, obs, rew, done, info = step(states, actions)
+        assert obs.shape == (4, env_mod.NUM_OBS)
+        assert rew.shape == (4,)
+
+
+class TestPhysics:
+    def test_energy_sanity_freefall(self):
+        """No contact: body accelerates at -g."""
+        params, _, ter = make_env()
+        pcfg = physics.PhysicsConfig()
+        q0 = jnp.tile(jnp.array([0.0, 0.8, -1.6]), 4)
+        st = physics.init_state(params, q0, height=2.0)
+        st, _, _ = physics.step(params, pcfg, ter, st, jnp.zeros(12))
+        dt = pcfg.dt * pcfg.substeps
+        assert abs(float(st.v[2]) - (-9.81 * dt)) < 1e-3
+
+    def test_standing_with_gravity_compensation(self):
+        from rl_mpc_locomotion_tpu.ops.leg_kinematics import leg_fk_jacobian
+        params, _, ter = make_env()
+        pcfg = physics.PhysicsConfig()
+        q0 = jnp.tile(jnp.array([0.0, 0.8, -1.6]), 4)
+        st = physics.init_state(params, q0, height=0.345)
+        mg4 = float(params.body_mass) * 9.81 / 4
+
+        @jax.jit
+        def tick(st):
+            q = st.q.reshape(4, 3)
+            _, J = leg_fk_jacobian(q, params.abad_link_length,
+                                   params.hip_link_length,
+                                   params.knee_link_length)
+            f = jnp.tile(jnp.array([0.0, 0.0, -mg4]), (4, 1))
+            tau = jnp.einsum('lji,lj->li', J, f).reshape(12)
+            tau += 30.0 * (q0 - st.q) - 1.0 * st.qd
+            return physics.step(params, pcfg, ter, st, tau)[0]
+
+        for _ in range(200):
+            st = tick(st)
+        assert 0.25 < float(st.pos[2]) < 0.4
+        assert float(st.quat[0]) > 0.98  # upright
+
+
+class TestPPO:
+    def test_gae_matches_manual(self):
+        cfg = ppo.PPOConfig(gamma=0.9, lam=0.8)
+        rewards = jnp.array([[1.0], [1.0], [1.0]])
+        values = jnp.array([[0.5], [0.5], [0.5]])
+        dones = jnp.zeros((3, 1))
+        last_value = jnp.array([0.5])
+        adv, ret = ppo.compute_gae(cfg, rewards, values, dones, last_value)
+        # manual backward recursion
+        want = np.zeros(3)
+        gae = 0.0
+        for t in reversed(range(3)):
+            delta = 1.0 + 0.9 * 0.5 - 0.5
+            gae = delta + 0.9 * 0.8 * gae
+            want[t] = gae
+        np.testing.assert_allclose(np.asarray(adv)[:, 0], want, atol=1e-5)
+
+    def test_gae_done_masks_bootstrap(self):
+        cfg = ppo.PPOConfig(gamma=0.9, lam=0.8)
+        rewards = jnp.array([[1.0], [1.0]])
+        values = jnp.array([[0.5], [0.5]])
+        dones = jnp.array([[0.0], [1.0]])  # terminal at t=1
+        adv, _ = ppo.compute_gae(cfg, rewards, values, dones,
+                                 jnp.array([99.0]))
+        # t=1 terminal: delta = 1 - 0.5 = 0.5 (no bootstrap from 99)
+        np.testing.assert_allclose(float(adv[1, 0]), 0.5, atol=1e-5)
+
+    def test_update_moves_policy_toward_advantage(self):
+        model = ActorCritic(num_actions=2, hidden=(16,))
+        cfg = ppo.PPOConfig(num_steps=8, num_minibatches=2, num_epochs=2,
+                            schedule="fixed", learning_rate=1e-2)
+        rng = jax.random.PRNGKey(0)
+        ts = ppo.init_train_state(rng, model, 4, cfg)
+        t, b = 8, 4
+        obs = jnp.ones((t, b, 4))
+        k1, k2 = jax.random.split(rng)
+        action = jax.random.normal(k1, (t, b, 2))
+        mean, log_std, value = jax.vmap(
+            lambda o: model.apply(ts.params, o))(obs)
+        lp = ppo.gaussian_log_prob(mean, log_std, action)
+        # reward favors positive first action dim
+        reward = action[..., 0]
+        traj = ppo.Transition(obs=obs, action=action, log_prob=lp,
+                              value=value, reward=reward,
+                              done=jnp.zeros((t, b)), mean=mean,
+                              log_std=log_std)
+        new_ts, metrics = ppo.ppo_update(model, cfg, ts, traj,
+                                         jnp.zeros(b))
+        m0, _, _ = model.apply(ts.params, jnp.ones(4))
+        m1, _, _ = model.apply(new_ts.params, jnp.ones(4))
+        assert float(m1[0]) > float(m0[0])  # pushed toward +dim0
+        assert np.isfinite(float(metrics["loss"]))
+
+
+class TestTrainStep:
+    def test_full_train_step_runs(self):
+        params = robots.aliengo_params()
+        cfg = train_mod.TrainConfig(
+            num_envs=4,
+            ppo=ppo.PPOConfig(num_steps=4, num_minibatches=2, num_epochs=1),
+            env=FAST_ENV)
+        ter = terrain.flat(extent=20.0, cell=0.2)
+        model = ActorCritic(num_actions=12, hidden=(32, 32))
+        rng = jax.random.PRNGKey(0)
+        ts = ppo.init_train_state(rng, model, env_mod.NUM_OBS, cfg.ppo)
+        step_fn, reset_batch = train_mod.make_train_step(params, cfg, ter,
+                                                         model)
+        env_state, obs = reset_batch(jax.random.PRNGKey(1))
+        ts, env_state, obs, tick, metrics = step_fn(ts, env_state, obs,
+                                                    jnp.int32(0))
+        assert np.isfinite(float(metrics["loss"]))
+        assert np.isfinite(float(metrics["mean_reward"]))
+        assert int(tick) == 4

@@ -103,6 +103,7 @@ class TestPassive:
     def test_small_pd_first_10_ticks_then_zero(self):
         h = FSMHarness(fsm_initial=fsm_mod.PASSIVE)
         q, qd, body = make_inputs()
+        h.step(q, qd, body, fsm_mod.PASSIVE)  # onEnter tick (zero command)
         taus = [h.step(q, qd, body, fsm_mod.PASSIVE)[0] for _ in range(14)]
         # first ticks: small PD toward [0, 0.01, 0.01]
         assert np.abs(taus[0]).max() > 1.0
@@ -128,15 +129,13 @@ class TestRecoveryStand:
         np.testing.assert_allclose(q_des_implied.reshape(4, 3),
                                    np.tile([0, 0.8, -1.6], (4, 1)), atol=0.02)
 
-    def test_fold_legs_when_low(self):
+    def test_fold_legs_when_upside_down(self):
+        # NOTE: the onEnter height check reads the *estimator's* com_z (the
+        # reference's StateEstimate.position[2]), which is body_height until
+        # locomotion has run — so a "low" physical body doesn't trigger
+        # FoldLegs; upside-down (rBody[2,2]<0) does.
         h = FSMHarness(fsm_initial=fsm_mod.RECOVERY_STAND)
-        q, qd, body = make_inputs(height=0.1)  # too low -> FoldLegs
-        # re-enter recovery state to trigger onEnter with low height:
-        h.step(q, qd, body, fsm_mod.PASSIVE)
-        h.step(q, qd, body, fsm_mod.PASSIVE)
-        h.step(q, qd, body, fsm_mod.RECOVERY_STAND)
-        h.step(q, qd, body, fsm_mod.RECOVERY_STAND)
-        assert h.fsm_state == fsm_mod.RECOVERY_STAND
+        q, qd, body = make_inputs(upside_down=True)
         for _ in range(60):
             tau, _ = h.step(q, qd, body, fsm_mod.RECOVERY_STAND)
         q_des_implied = (q + tau / 80.0).reshape(4, 3)
