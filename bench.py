@@ -82,7 +82,7 @@ def bench(batch: int = 4096, warmup: int = 3, iters: int = 10,
             "mpc_period_ms": round(period_ms, 3),
             "control_ticks_per_s": round(2 * batch * iters / dt, 1),
             "realtime_budget_ms": 20.0,
-            "qp_iters": qp_cfg.iters,
+            "qp_iters": qp_cfg.iters + qp_cfg.iters2,
         },
     }
 

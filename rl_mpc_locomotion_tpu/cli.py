@@ -58,7 +58,8 @@ def cmd_play(args):
 
     n = args.num_envs
     q0 = jnp.tile(jnp.array([0.0, 0.8, -1.6], jnp.float32), 4)
-    pstate = jax.vmap(lambda _: physics.init_state(params, q0, 0.37))(
+    init_h = float(params.body_height) + 0.03
+    pstate = jax.vmap(lambda _: physics.init_state(params, q0, init_h))(
         jnp.arange(n))
     cstate = jax.vmap(lambda _: runner.init_state(params, cfg))(jnp.arange(n))
 
@@ -91,6 +92,15 @@ def cmd_play(args):
                                                    passive_iters, weights)
 
     ticks = int(args.seconds / cfg.dt)
+    telemetry = None
+    if args.telemetry:
+        # native ring-buffer logger; frame mirrors the reference's MPC log
+        # (Logger.py + ConvexMPCLocomotion.py:192-215)
+        from .utils.native_runtime import TelemetryLogger
+        fields = (["tick", "x", "y", "z", "vx", "com_z_est", "mpc_loss"]
+                  + [f"f_{l}{a}" for l in range(4) for a in "xyz"])
+        telemetry = TelemetryLogger(args.telemetry, frame_size=len(fields),
+                                    field_names=fields)
     # unsafe handling mirrors RL_MPC_Locomotion.py:103-105: on the
     # locomotionUnsafe flag, command RECOVERY_STAND for a while, then
     # restore the requested mode.
@@ -116,12 +126,25 @@ def cmd_play(args):
                         cstate.fsm.locomotion_unsafe)))
             elif t == recovery_until:
                 control_mode = jnp.int32(1)
+        if telemetry is not None:
+            pos0 = np.asarray(pstate.pos[0])
+            frame = np.concatenate([
+                [t, pos0[0], pos0[1], pos0[2], float(pstate.v[0, 0]),
+                 float(metrics["com_z"][0]),
+                 float(metrics["mpc_loss"][0])],
+                np.asarray(metrics["f_ff"][0]).reshape(-1)]).astype(
+                    np.float32)
+            telemetry.push(frame)
         if t % args.log_every == 0:
             pos = np.asarray(pstate.pos)
             print(f"t={t * cfg.dt:6.2f}s  env0 pos="
                   f"[{pos[0, 0]:+.2f} {pos[0, 1]:+.2f} {pos[0, 2]:+.3f}] "
                   f"vx={float(pstate.v[0, 0]):+.2f} "
                   f"com_z={float(metrics['com_z'][0]):.3f}")
+    if telemetry is not None:
+        telemetry.flush()
+        telemetry.close()
+        print(f"[play] telemetry written to {args.telemetry}")
     wall = time.time() - t0
     print(f"[play] {ticks} ticks x {n} envs in {wall:.1f}s "
           f"({ticks * n / wall:.0f} robot-ticks/s, "
@@ -178,6 +201,8 @@ def main(argv=None):
     pp.add_argument("--seconds", type=float, default=5.0)
     pp.add_argument("--log-every", type=int, default=50)
     pp.add_argument("--checkpoint", default=None)
+    pp.add_argument("--telemetry", default=None, metavar="PATH",
+                    help="write per-tick MPC telemetry (native logger)")
     pp.set_defaults(fn=cmd_play)
 
     pt = sub.add_parser("train", help="PPO weight-policy training")

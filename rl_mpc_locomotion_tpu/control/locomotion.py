@@ -107,6 +107,16 @@ def _solve_mpc(params: RobotParams, cfg: ControlConfig, se: StateEstimate,
     # sign flip: solver variable is GRF on the body; f_ff is foot-on-ground
     # (mpc_osqp.cc:789-790, 940-942)
     f_ff = -x[:12].reshape(4, 3)
+
+    # MPC loss decomposition for telemetry (ConvexMPCLocomotion.py:192-215
+    # incl. its omega-vs-linear-velocity pairing in the third term)
+    state_loss = (jnp.dot(com_rpy - desired_rpy, weights[0:3])
+                  + jnp.dot(com_position - desired_position, weights[3:6])
+                  + jnp.dot(com_omega - desired_velocity, weights[6:9])
+                  + jnp.dot(com_vel - desired_velocity, weights[9:12]))
+    torque_loss = cfg.alpha * jnp.sum(-x[:12])
+    diag = dict(diag)
+    diag["mpc_loss"] = state_loss + torque_loss
     return f_ff, new_qp_state, diag
 
 
@@ -212,7 +222,8 @@ def _step_impl(params: RobotParams, cfg: ControlConfig, loco: LocomotionState,
     def skip_solve(operand):
         _, qp_state = operand
         return loco.f_ff, qp_state, {
-            "primal_violation": jnp.float32(0.0)}
+            "primal_violation": jnp.float32(0.0),
+            "mpc_loss": jnp.float32(0.0)}
 
     f_ff, qp_state, qp_diag = jax.lax.cond(
         gate if solve_gate is None else solve_gate,
@@ -270,5 +281,6 @@ def _step_impl(params: RobotParams, cfg: ControlConfig, loco: LocomotionState,
         "f_ff": f_ff,
         "com_z": est.com_z,
         "qp_primal_violation": qp_diag["primal_violation"],
+        "mpc_loss": qp_diag["mpc_loss"],
     }
     return new_loco, est, cmds, metrics

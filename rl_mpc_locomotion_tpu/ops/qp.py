@@ -49,6 +49,7 @@ class QPConfig(NamedTuple):
     iters: int = 50             # iterations before the (optional) rho update
     iters2: int = 50            # iterations after the rho update
     adaptive_rho: bool = True
+    deferred_rho: bool = False  # adapt rho across solves via QPState.rho_mult
     ruiz_iters: int = 10
     polish: bool = True
     polish_delta: float = 1e-6
@@ -59,23 +60,38 @@ class QPConfig(NamedTuple):
 
 def production_qp_config() -> "QPConfig":
     """The validated real-time TPU configuration: warm-started 50-iteration
-    ADMM through the Pallas kernel; no adaptive restart or polish (accuracy
-    knobs for offline use — closed-loop walking is stable from ~40
-    iterations, tests/test_qp.py pins the tolerance)."""
-    return QPConfig(iters=50, iters2=0, adaptive_rho=False, polish=False,
-                    ruiz_iters=3, use_pallas=True)
+    ADMM with *deferred* rho adaptation, through the Pallas kernel.
+
+    Rho adaptation is load-bearing across robots: with a fixed rho the
+    heavier/stiffer A1 (mass x3, inertia x10) stalls at ~55% of the required
+    stance force and sinks regardless of iteration count; the OSQP rho
+    rescale fixes it. Deferring the rescale to the next solve
+    (QPState.rho_mult) keeps one factorization per solve — rho converges per
+    robot within a few 50 Hz MPC periods. Polish stays off (accuracy knob
+    for offline use; tests/test_qp.py pins tolerances)."""
+    return QPConfig(iters=50, iters2=0, adaptive_rho=False,
+                    deferred_rho=True, polish=False, ruiz_iters=3,
+                    use_pallas=True)
 
 
 class QPState(NamedTuple):
-    """Warm-start state carried across MPC solves (unscaled)."""
-    x: jnp.ndarray  # (n,)
-    z: jnp.ndarray  # (m,)
-    y: jnp.ndarray  # (m,)
+    """Warm-start state carried across MPC solves (unscaled).
+
+    rho_mult is the deferred adaptive-rho memory: the OSQP rho rescale
+    computed from this solve's residuals is applied to the *next* solve, so
+    each solve factors K exactly once while rho still converges per robot
+    over a few MPC periods (QPConfig.deferred_rho).
+    """
+    x: jnp.ndarray         # (n,)
+    z: jnp.ndarray         # (m,)
+    y: jnp.ndarray         # (m,)
+    rho_mult: jnp.ndarray  # () carried rho scaling
 
 
 def init_qp_state(n: int, m: int) -> QPState:
     return QPState(x=jnp.zeros(n, jnp.float32), z=jnp.zeros(m, jnp.float32),
-                   y=jnp.zeros(m, jnp.float32))
+                   y=jnp.zeros(m, jnp.float32),
+                   rho_mult=jnp.float32(1.0))
 
 
 def _apply_c(c_blocks, x):
@@ -98,13 +114,17 @@ def _ct_diag_c(c_blocks, d):
 
 
 def _add_block_diag(mat, blocks):
-    """Add (nb,3,3) blocks onto the diagonal of (nb*3, nb*3) mat."""
+    """Add (nb,3,3) blocks onto the diagonal of (nb*3, nb*3) mat.
+
+    Expressed as a broadcast-multiply against eye(nb) rather than an indexed
+    scatter — batched scatters lower to serial updates on TPU and dominated
+    the K-assembly cost.
+    """
     nb = blocks.shape[0]
     n = nb * 3
-    m4 = mat.reshape(nb, 3, nb, 3)
-    idx = jnp.arange(nb)
-    m4 = m4.at[idx, :, idx, :].add(blocks)
-    return m4.reshape(n, n)
+    eye = jnp.eye(nb, dtype=mat.dtype)
+    dense = jnp.einsum('bc,bij->bicj', eye, blocks).reshape(n, n)
+    return mat + dense
 
 
 def ruiz_equilibrate(p_mat, q_vec, c_blocks, iters: int):
@@ -234,7 +254,8 @@ def _solve_qp_impl(p_mat, q_vec, c_blocks, lb, ub, state: QPState,
         p_mat, q_vec, c_blocks, cfg.ruiz_iters)
     l_s, u_s = e * lb, e * ub
 
-    rho = jnp.where(eq_row, cfg.rho * cfg.rho_eq_scale, cfg.rho)
+    base_rho = cfg.rho * state.rho_mult if cfg.deferred_rho else cfg.rho
+    rho = jnp.where(eq_row, base_rho * cfg.rho_eq_scale, base_rho)
 
     # warm start: scale previous solution into the new scaling
     x = state.x / d
@@ -249,7 +270,7 @@ def _solve_qp_impl(p_mat, q_vec, c_blocks, lb, ub, state: QPState,
                                  cfg.use_pallas)
     x, z, y = solver(build_k(rho), q_s, c_s, l_s, u_s, rho, x, z, y)
 
-    if cfg.adaptive_rho:
+    def rho_rescale(x, z, y):
         # OSQP eq. (20): rho <- rho * sqrt(pri_res_rel / dua_res_rel)
         cx = _apply_c(c_s, x)
         pri = jnp.max(jnp.abs(cx - z))
@@ -263,11 +284,19 @@ def _solve_qp_impl(p_mat, q_vec, c_blocks, lb, ub, state: QPState,
                         jnp.maximum(jnp.max(jnp.abs(cty)),
                                     jnp.max(jnp.abs(q_s)))), 1e-8)
         scale = jnp.sqrt(pri_rel / jnp.maximum(dua_rel, 1e-10))
-        scale = jnp.clip(scale, 1e-2, 1e2)
-        rho2 = jnp.clip(rho * scale, 1e-6, 1e6)
+        return jnp.clip(scale, 1e-2, 1e2)
+
+    rho_mult = state.rho_mult
+    if cfg.adaptive_rho:
+        # immediate restart: re-factor with the rescaled rho this solve
+        rho2 = jnp.clip(rho * rho_rescale(x, z, y), 1e-6, 1e6)
         solver2 = _make_scaled_solver(cfg.iters2, cfg.sigma, cfg.relax,
                                       cfg.use_pallas)
         x, z, y = solver2(build_k(rho2), q_s, c_s, l_s, u_s, rho2, x, z, y)
+    elif cfg.deferred_rho:
+        # deferred: remember the rescale for the NEXT solve (single factor
+        # per solve; rho converges per robot over a few MPC periods)
+        rho_mult = jnp.clip(rho_mult * rho_rescale(x, z, y), 1e-3, 1e3)
 
     if cfg.polish:
         x = _polish(p_s, q_s, c_s, l_s, u_s, x, y, z, cfg)
@@ -279,7 +308,7 @@ def _solve_qp_impl(p_mat, q_vec, c_blocks, lb, ub, state: QPState,
 
     viol = jnp.maximum(jnp.max(jnp.maximum(lb - z_u, z_u - ub)), 0.0)
     diag = {"primal_violation": viol}
-    return x_u, QPState(x=x_u, z=z_u, y=y_u), diag
+    return x_u, QPState(x=x_u, z=z_u, y=y_u, rho_mult=rho_mult), diag
 
 
 def _polish(p_s, q_s, c_s, l_s, u_s, x, y, z, cfg: QPConfig):

@@ -57,6 +57,8 @@ class EnvConfig:
     rew_lin_vel_z: float = -4.0
     rew_ang_vel_xy: float = -0.05
     rew_collision: float = 0.0
+    clip_obs: float = 5.0                # clipObservations (Aliengo.yaml:10)
+    clip_actions: float = 1.0            # clipActions (Aliengo.yaml:11)
     base_init_height: float = 0.4
     gait_id: int = 0
     control: ControlConfig = ControlConfig()
@@ -131,9 +133,10 @@ def observations(params: RobotParams, cfg: EnvConfig, state: EnvState):
     cmd_scaled = state.commands * jnp.array(
         [cfg.lin_vel_scale, cfg.lin_vel_scale, cfg.ang_vel_scale], jnp.float32)
     dof_pos_scaled = (ph.q - DEFAULT_DOF_POS) * cfg.dof_pos_scale
-    return jnp.concatenate([
+    obs = jnp.concatenate([
         ph.pos, base_lin_vel, base_ang_vel, cmd_scaled, dof_pos_scaled,
         ph.qd * cfg.dof_vel_scale, state.actions])
+    return jnp.clip(obs, -cfg.clip_obs, cfg.clip_obs)
 
 
 def _reward_and_reset(params: RobotParams, cfg: EnvConfig, state: EnvState,

@@ -86,6 +86,11 @@ def uneven_patches(seed: int = 0, extent: float = 40.0,
     grid[half:, :half] = rough[half:, :half]
     grid[:half, half:] = slope[:half, half:]
     grid[half:, half:] = stair[half:, half:]
+    # blend quadrant boundaries so the spawn pad doesn't end in a cliff
+    for _ in range(4):
+        grid = 0.2 * (np.roll(grid, 1, 0) + np.roll(grid, -1, 0)
+                      + np.roll(grid, 1, 1) + np.roll(grid, -1, 1)) \
+            + 0.2 * grid
     c = n // 2
     pad = int(1.0 / cell)
     grid[c - pad:c + pad, c - pad:c + pad] = 0.0
