@@ -13,9 +13,19 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
+
+# persistent compilation cache: the Pallas solver kernel is expensive to
+# compile; cache hits make repeated bench runs start in seconds
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".jax_cache")
+os.makedirs(_CACHE_DIR, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
 import jax.numpy as jnp
 
 from rl_mpc_locomotion_tpu.control import runner

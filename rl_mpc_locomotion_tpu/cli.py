@@ -152,19 +152,26 @@ def cmd_play(args):
 
 
 def cmd_train(args):
+    import jax as _jax
+
+    from .control.types import ControlConfig
     from .models import robots
+    from .ops.qp import production_qp_config
     from .rl import train as train_mod
     from .rl.ppo import PPOConfig
     from .sim.env import EnvConfig
 
     params = {"aliengo": robots.aliengo_params, "go1": robots.go1_params,
               "a1": robots.a1_params}[args.task.lower()]()
+    # Pallas solver on TPU; XLA path elsewhere
+    qp = production_qp_config()._replace(
+        use_pallas=_jax.default_backend() == "tpu")
     cfg = train_mod.TrainConfig(
         num_envs=args.num_envs,
         max_iterations=args.max_iterations,
         seed=args.seed,
         ppo=PPOConfig(),
-        env=EnvConfig(),
+        env=EnvConfig(control=ControlConfig(qp=qp)),
     )
     mesh = None
     if args.multi_device:
