@@ -72,7 +72,8 @@ def cmd_play(args):
     passive_iters = jnp.zeros(n, jnp.int32)
 
     @jax.jit
-    def tick(pstate, cstate, passive_iters, weights, control_mode):
+    def tick(pstate, cstate, passive_iters, weights, control_mode, commands,
+             gait_id):
         def one(ps, cs, pi, w):
             body = physics.root_state_vector(ps)
             if args.mode in ("Fsm", "Policy"):
@@ -101,18 +102,40 @@ def cmd_play(args):
                   + [f"f_{l}{a}" for l in range(4) for a in "xyz"])
         telemetry = TelemetryLogger(args.telemetry, frame_size=len(fields),
                                     field_names=fields)
+    # gamepad (RL_MPC_Locomotion.py:89-91): left stick vx/vy, right stick
+    # yaw, LB cycles gait, RB cycles mode, LB+RB e-stop; scripted commands
+    # otherwise
+    gamepad = None
+    if args.gamepad:
+        from .utils.native_runtime import Gamepad
+        gamepad = Gamepad()
+        if not gamepad.connected:
+            print("[play] no gamepad at /dev/input/js0 — using scripted "
+                  "commands")
+            gamepad = None
+
     # unsafe handling mirrors RL_MPC_Locomotion.py:103-105: on the
     # locomotionUnsafe flag, command RECOVERY_STAND for a while, then
     # restore the requested mode.
     control_mode = jnp.int32(1)  # LOCOMOTION
+    gait_arr = jnp.int32(gait_id)
     recovery_until = -1
     t0 = time.time()
     for t in range(ticks):
+        if gamepad is not None:
+            vx, vy, wz, estop = gamepad.get_command()
+            if estop:
+                print("[play] e-stop (LB+RB)")
+                break
+            commands = jnp.array([vx, vy, wz], jnp.float32)
+            gait_arr = jnp.int32(gamepad.get_gait())
+            control_mode = jnp.int32(gamepad.get_mode())
         weights = None
         if policy is not None:
             weights = policy.step_batch(pstate, cstate, commands)
         pstate, cstate, passive_iters, metrics = tick(
-            pstate, cstate, passive_iters, weights, control_mode)
+            pstate, cstate, passive_iters, weights, control_mode,
+            commands, gait_arr)
         if args.mode in ("Fsm", "Policy"):
             unsafe = bool(np.any(np.asarray(
                 cstate.fsm.locomotion_unsafe)))
@@ -151,6 +174,12 @@ def cmd_play(args):
           f"{'real-time' if ticks * cfg.dt <= wall else 'faster than real-time'})")
 
 
+def yaml_scalar(text: str):
+    """Parse a CLI override value with YAML scalar rules ('3'->int, etc.)."""
+    import yaml
+    return yaml.safe_load(text)
+
+
 def cmd_train(args):
     import jax as _jax
 
@@ -168,11 +197,23 @@ def cmd_train(args):
         use_pallas=_jax.default_backend() == "tpu")
     cfg = train_mod.TrainConfig(
         num_envs=args.num_envs,
-        max_iterations=args.max_iterations,
+        max_iterations=args.max_iterations or 5000,
         seed=args.seed,
         ppo=PPOConfig(),
         env=EnvConfig(control=ControlConfig(qp=qp)),
     )
+    if args.config:
+        # YAML overlay (cfg/*.yaml) + dotted-key CLI overrides, the Hydra
+        # config.yaml equivalent (utils/config.py)
+        from .utils.config import load_config
+        overrides = dict(kv.split("=", 1) for kv in args.override)
+        overrides = {k: yaml_scalar(v) for k, v in overrides.items()}
+        cfg = load_config(cfg, args.config, overrides)
+    elif args.override:
+        from .utils.config import apply_overrides
+        cfg = apply_overrides(
+            cfg, {k: yaml_scalar(v) for k, v in
+                  (kv.split("=", 1) for kv in args.override)})
     mesh = None
     if args.multi_device:
         import jax
@@ -180,9 +221,11 @@ def cmd_train(args):
         from jax.sharding import Mesh
         mesh = Mesh(np.array(jax.devices()).reshape(-1), ("env",))
     ter = _make_terrain(args.terrain)
-    train_mod.train(params, cfg, ter, mesh=mesh,
-                    checkpoint_dir=args.checkpoint,
-                    max_iterations=args.max_iterations)
+    from .utils.profiling import device_trace
+    with device_trace(args.profile_dir):
+        train_mod.train(params, cfg, ter, mesh=mesh,
+                        checkpoint_dir=args.checkpoint,
+                        log_dir=args.log_dir)
 
 
 def cmd_bench(args):
@@ -210,16 +253,29 @@ def main(argv=None):
     pp.add_argument("--checkpoint", default=None)
     pp.add_argument("--telemetry", default=None, metavar="PATH",
                     help="write per-tick MPC telemetry (native logger)")
+    pp.add_argument("--gamepad", action="store_true",
+                    help="drive commands from /dev/input/js0 (native reader)")
     pp.set_defaults(fn=cmd_play)
 
     pt = sub.add_parser("train", help="PPO weight-policy training")
     pt.add_argument("--task", default="Aliengo")
+    pt.add_argument("--config", default=None, metavar="YAML",
+                    help="TrainConfig YAML overlay (e.g. cfg/aliengo.yaml)")
+    pt.add_argument("--override", action="append", default=[],
+                    metavar="KEY=VAL",
+                    help="dotted config override, e.g. ppo.learning_rate=3e-4")
     pt.add_argument("--num-envs", type=int, default=512)
-    pt.add_argument("--max-iterations", type=int, default=5000)
+    pt.add_argument("--max-iterations", type=int, default=None,
+                    help="PPO iterations (default 5000; YAML/--override win "
+                         "when this flag is omitted)")
     pt.add_argument("--seed", type=int, default=1)
     pt.add_argument("--terrain", default="flat", choices=TERRAINS)
     pt.add_argument("--checkpoint", default=None)
     pt.add_argument("--multi-device", action="store_true")
+    pt.add_argument("--log-dir", default=None, metavar="DIR",
+                    help="write metrics.jsonl + TensorBoard scalars here")
+    pt.add_argument("--profile-dir", default=None, metavar="DIR",
+                    help="capture a jax.profiler device trace here")
     pt.set_defaults(fn=cmd_train)
 
     pb = sub.add_parser("bench", help="MPC solves/s benchmark")

@@ -105,8 +105,13 @@ def make_train_step(params: RobotParams, cfg: TrainConfig,
 def train(params: RobotParams, cfg: TrainConfig,
           ter: Optional[terrain_mod.Terrain] = None, mesh=None,
           log_fn=print, checkpoint_dir: Optional[str] = None,
-          max_iterations: Optional[int] = None):
-    """Outer training loop (OnPolicyRunner.learn equivalent)."""
+          max_iterations: Optional[int] = None,
+          log_dir: Optional[str] = None):
+    """Outer training loop (OnPolicyRunner.learn equivalent).
+
+    ``log_dir`` enables the metrics sink (JSONL + TensorBoard scalars via
+    utils/metrics.MetricsWriter) — the rsl_rl OnPolicyRunner TensorBoard
+    equivalent (SURVEY §5 metrics channel 2)."""
     if ter is None:
         ter = terrain_mod.flat()
     model = ActorCritic(num_actions=env_mod.NUM_ACTIONS)
@@ -124,20 +129,30 @@ def train(params: RobotParams, cfg: TrainConfig,
     tick = jnp.int32(0)
     iters = max_iterations or cfg.max_iterations
     history = []
+    writer = None
+    if log_dir:
+        from ..utils.metrics import MetricsWriter
+        writer = MetricsWriter(log_dir)
     t0 = time.time()
-    for it in range(iters):
-        train_state, env_state, obs, tick, metrics = step_fn(
-            train_state, env_state, obs, tick)
-        if it % 10 == 0 or it == iters - 1:
-            m = {k: float(v) for k, v in metrics.items()}
-            m["iter"] = it
-            m["steps_per_s"] = (cfg.ppo.num_steps * cfg.num_envs * (it + 1)
-                                / (time.time() - t0))
-            history.append(m)
-            log_fn(f"[train] it={it} reward/step={m['mean_reward']:.4f} "
-                   f"kl={m['kl']:.4f} lr={m['lr']:.2e} "
-                   f"sps={m['steps_per_s']:.0f}")
-        if checkpoint_dir and (it + 1) % cfg.save_interval == 0:
-            from ..utils.checkpoint import save_checkpoint
-            save_checkpoint(checkpoint_dir, it + 1, train_state)
+    try:
+        for it in range(iters):
+            train_state, env_state, obs, tick, metrics = step_fn(
+                train_state, env_state, obs, tick)
+            if it % 10 == 0 or it == iters - 1:
+                m = {k: float(v) for k, v in metrics.items()}
+                m["iter"] = it
+                m["steps_per_s"] = (cfg.ppo.num_steps * cfg.num_envs
+                                    * (it + 1) / (time.time() - t0))
+                history.append(m)
+                if writer is not None:
+                    writer.write(it, m, prefix="train/")
+                log_fn(f"[train] it={it} reward/step={m['mean_reward']:.4f} "
+                       f"kl={m['kl']:.4f} lr={m['lr']:.2e} "
+                       f"sps={m['steps_per_s']:.0f}")
+            if checkpoint_dir and (it + 1) % cfg.save_interval == 0:
+                from ..utils.checkpoint import save_checkpoint
+                save_checkpoint(checkpoint_dir, it + 1, train_state)
+    finally:
+        if writer is not None:
+            writer.close()
     return train_state, history

@@ -1,3 +1,5 @@
-"""Configs, logging, checkpointing."""
+"""Configs, logging, metrics, profiling, checkpointing."""
 
 from . import checkpoint  # noqa: F401
+from . import metrics  # noqa: F401
+from . import profiling  # noqa: F401

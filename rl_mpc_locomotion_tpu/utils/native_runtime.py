@@ -89,6 +89,11 @@ class TelemetryLogger:
             with open(path + ".meta", "w") as f:
                 f.write("\n".join(field_names))
 
+    @property
+    def available(self) -> bool:
+        """True when the native ring buffer is backing this logger."""
+        return self._handle is not None
+
     def push(self, frame: np.ndarray) -> bool:
         frame = np.ascontiguousarray(frame, dtype=np.float32).reshape(-1)
         assert frame.shape[0] == self.frame_size
