@@ -234,6 +234,9 @@ def solve_scaled_batch(k_mat, q_s, c_s, l_s, u_s, rho, x, z, y,
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
+            # robot tiles are independent: let Mosaic split the grid
+            # across TensorCores instead of running tiles sequentially
+            dimension_semantics=("parallel",),
             # kbuf (N*N*TR*4 = 7.4 MB) + one full-size elementwise temporary
             # in kinv_apply + IO blocks
             vmem_limit_bytes=30 * 1024 * 1024),
