@@ -1,0 +1,65 @@
+"""Closed-loop validation of the production QP configuration.
+
+production_qp_config() (ops/qp.py) is the solver setting the TPU bench and
+training run with (warm-started 50-iteration ADMM, deferred adaptive rho,
+Ruiz equilibration). Its guarantees are *behavioural*, not per-solve
+accuracy: every robot must stand and track velocity in closed loop — the
+A1's inflated mass/inertia (Quadruped.py:58-73 in the reference) is the
+known stress case that stalls without rho adaptation.
+
+Runs the full Min-mode controller + SRB physics on flat ground for 2 s of
+sim time per robot (CPU: use_pallas off — the XLA path runs the identical
+algorithm; Pallas/XLA agreement is pinned by tests/test_pallas_kernel.py).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rl_mpc_locomotion_tpu.control import runner
+from rl_mpc_locomotion_tpu.control.types import ControlConfig
+from rl_mpc_locomotion_tpu.models import robots
+from rl_mpc_locomotion_tpu.ops.qp import production_qp_config
+from rl_mpc_locomotion_tpu.sim import physics, terrain
+
+
+def rollout(params, cfg, seconds=2.0, vx=0.5):
+    pcfg = physics.PhysicsConfig()
+    ter = terrain.flat(extent=10.0, cell=0.5)
+    q0 = jnp.tile(jnp.array([0.0, 0.8, -1.6], jnp.float32), 4)
+    pstate = physics.init_state(params, q0, float(params.body_height) + 0.03)
+    cstate = runner.init_state(params, cfg)
+    commands = jnp.array([vx, 0.0, 0.0], jnp.float32)
+
+    @jax.jit
+    def tick(carry, _):
+        ps, cs = carry
+        body = physics.root_state_vector(ps)
+        cs, tau, _ = runner.min_step(params, cfg, cs, ps.q, ps.qd, body,
+                                     commands)
+        ps, _, _ = physics.step(params, pcfg, ter, ps, tau)
+        return (ps, cs), (ps.pos, ps.v)
+
+    n = int(seconds / cfg.dt)
+    (_, _), (pos, vel) = jax.lax.scan(tick, (pstate, cstate), None, length=n)
+    return np.asarray(pos), np.asarray(vel)
+
+
+@pytest.mark.parametrize("robot", ["aliengo", "go1", "a1"])
+def test_production_config_walks(robot):
+    params = {"aliengo": robots.aliengo_params, "go1": robots.go1_params,
+              "a1": robots.a1_params}[robot]()
+    qp = production_qp_config()._replace(use_pallas=False)
+    cfg = ControlConfig(qp=qp)
+    pos, vel = rollout(params, cfg)
+
+    assert np.all(np.isfinite(pos)) and np.all(np.isfinite(vel))
+    # stands: height stays near nominal over the second half
+    z_late = pos[len(pos) // 2:, 2]
+    z_ref = float(params.body_height)
+    assert np.all(z_late > 0.6 * z_ref), (
+        f"{robot} sank: min z {z_late.min():.3f} vs ref {z_ref:.3f}")
+    assert np.all(np.abs(pos[:, 1]) < 0.3), "lateral drift"
+    # tracks: mean forward speed within 40% of command in the second half
+    vx_late = vel[len(vel) // 2:, 0].mean()
+    assert 0.3 < vx_late < 0.8, f"{robot} vx {vx_late:.2f} for 0.5 cmd"
