@@ -219,7 +219,7 @@ def solve_scaled_batch(k_mat, q_s, c_s, l_s, u_s, rho, x, z, y,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # K stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),      # K stays in HBM
             vec_spec(N), c_spec, vec_spec(M), vec_spec(M), vec_spec(M),
             vec_spec(N), vec_spec(M), vec_spec(M),
         ],
