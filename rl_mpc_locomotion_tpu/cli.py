@@ -28,6 +28,18 @@ MODES = ("Min", "Fsm", "Policy")
 TERRAINS = ("flat", "slope", "stairs", "rough", "uneven")
 
 
+def gamepad_tick_update(gamepad):
+    """Per-tick gamepad poll (RL_MPC_Locomotion.py:89-105 equivalent).
+
+    Returns (commands (3,) float32, gait_id, control_mode, estop). The
+    e-stop is the latched ``estop_flagged`` attribute (LB+RB), not part of
+    the command vector.
+    """
+    commands = gamepad.get_command()
+    return (np.asarray(commands, np.float32), int(gamepad.get_gait()),
+            int(gamepad.get_mode()), bool(gamepad.estop_flagged))
+
+
 def _make_terrain(name: str):
     from .sim import terrain
     return {
@@ -123,13 +135,13 @@ def cmd_play(args):
     t0 = time.time()
     for t in range(ticks):
         if gamepad is not None:
-            vx, vy, wz, estop = gamepad.get_command()
+            cmd, gid, mode, estop = gamepad_tick_update(gamepad)
             if estop:
                 print("[play] e-stop (LB+RB)")
                 break
-            commands = jnp.array([vx, vy, wz], jnp.float32)
-            gait_arr = jnp.int32(gamepad.get_gait())
-            control_mode = jnp.int32(gamepad.get_mode())
+            commands = jnp.asarray(cmd)
+            gait_arr = jnp.int32(gid)
+            control_mode = jnp.int32(mode)
         weights = None
         if policy is not None:
             weights = policy.step_batch(pstate, cstate, commands)

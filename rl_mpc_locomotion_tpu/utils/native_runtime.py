@@ -199,10 +199,11 @@ class Gamepad:
             if rb and not self._prev_rb:
                 self.mode_idx = (self.mode_idx + 1) % len(_MODES)
         self._prev_lb, self._prev_rb = lb, rb
-        scale = 1.0 / 32768.0
-        vx = -axes[1] * scale * _MAX_VX
-        vy = -axes[0] * scale * _MAX_VY
-        wz = -axes[3] * scale * _MAX_WZ
+        # float before negation: int16 -(-32768) overflows back to -32768
+        ax = axes.astype(np.float32) / 32768.0
+        vx = -ax[1] * _MAX_VX
+        vy = -ax[0] * _MAX_VY
+        wz = -ax[3] * _MAX_WZ
         return np.array([vx, vy, wz], np.float32)
 
     def get_gait(self) -> int:

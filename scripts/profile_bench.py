@@ -44,10 +44,10 @@ def tick_time(qp_cfg, gate):
 
 prod = production_qp_config()
 res = {}
-import sys
 res["tick_nosolve_ms"] = tick_time(prod, False); print("nosolve", res, flush=True)
 res["tick_solve_ms"] = tick_time(prod, True); print("solve", res, flush=True)
-res["tick_solve_iter0_ms"] = tick_time(prod._replace(iters=1), True); print("iter1", res, flush=True)
+# single-ADMM-iteration tick: isolates QP prep (Ruiz/condense/K) + kernel overhead
+res["tick_solve_iter1_ms"] = tick_time(prod._replace(iters=1), True); print("iter1", res, flush=True)
 # xla path skipped: too slow to compile
 # ruiz0 skipped
 print(json.dumps({k: round(v, 2) for k, v in res.items()}))
