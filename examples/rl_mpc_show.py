@@ -48,8 +48,10 @@ def main(checkpoint=None, seconds: float = 4.0):
             return ps, cs, pi
         return jax.vmap(one)(pstate, cstate, passive_iters, weights)
 
+    prev_action = jnp.zeros((2, 12), jnp.float32)
     for t in range(int(seconds * 100)):
-        policy_w = policy.step_batch(pstate, cstate, commands)  # (2,13)
+        policy_w, prev_action = policy.step_batch(pstate, cstate, commands,
+                                                  prev_action)  # (2,13)
         weights = jnp.stack([jnp.asarray(params.mpc_weights), policy_w[1]])
         pstate, cstate, passive_iters = tick(pstate, cstate, passive_iters,
                                              weights)

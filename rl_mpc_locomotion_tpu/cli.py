@@ -132,6 +132,7 @@ def cmd_play(args):
     control_mode = jnp.int32(1)  # LOCOMOTION
     gait_arr = jnp.int32(gait_id)
     recovery_until = -1
+    prev_action = jnp.zeros((n, 12), jnp.float32)
     t0 = time.time()
     for t in range(ticks):
         if gamepad is not None:
@@ -144,7 +145,8 @@ def cmd_play(args):
             control_mode = jnp.int32(mode)
         weights = None
         if policy is not None:
-            weights = policy.step_batch(pstate, cstate, commands)
+            weights, prev_action = policy.step_batch(pstate, cstate,
+                                                     commands, prev_action)
         pstate, cstate, passive_iters, metrics = tick(
             pstate, cstate, passive_iters, weights, control_mode,
             commands, gait_arr)

@@ -228,6 +228,16 @@ def _step_impl(params: RobotParams, cfg: ControlConfig, loco: LocomotionState,
     f_ff, qp_state, qp_diag = jax.lax.cond(
         gate if solve_gate is None else solve_gate,
         do_solve, skip_solve, (est, loco.qp_state))
+
+    # divergence fallback: a solve whose worst constraint violation exceeds
+    # the tolerance holds the previous forces and cold-starts the next solve
+    # (the reference's unhandled empty-vector case, mpc_osqp.cc:791-794)
+    diverged = qp_diag["primal_violation"] > cfg.qp_divergence_tol
+    f_ff = jnp.where(diverged, loco.f_ff, f_ff)
+    qp_state = jax.tree.map(
+        lambda cold, cur: jnp.where(diverged, cold, cur),
+        qp_mod.init_qp_state(cfg.horizon * 12, cfg.horizon * 20), qp_state)
+
     if solve_gate is not None:
         # scalar gate ran the solve; per-robot counters mask the commit
         f_ff = jnp.where(want_solve, f_ff, loco.f_ff)
@@ -281,6 +291,7 @@ def _step_impl(params: RobotParams, cfg: ControlConfig, loco: LocomotionState,
         "f_ff": f_ff,
         "com_z": est.com_z,
         "qp_primal_violation": qp_diag["primal_violation"],
+        "qp_diverged": diverged,
         "mpc_loss": qp_diag["mpc_loss"],
     }
     return new_loco, est, cmds, metrics

@@ -30,6 +30,12 @@ class ControlConfig:
     bonus_swing: float = 0.0             # Parameters.cmpc_bonus_swing
     qp: QPConfig = QPConfig()
     check_safety: bool = True            # Parameters.FSM_check_safety
+    # QP divergence fallback: when the solve's worst constraint violation
+    # (Newtons) exceeds this, hold the previous f_ff and cold-start the next
+    # solve. The reference returns an empty vector on OSQP non-convergence
+    # (mpc_osqp.cc:791-794) which its caller never handles (would throw at
+    # ConvexMPCLocomotion.py:186-187); this is the SURVEY §5 fallback.
+    qp_divergence_tol: float = 1.0
 
     @property
     def dt_mpc(self) -> float:

@@ -123,15 +123,22 @@ class WeightPolicy:
                 print(f"[WeightPolicy] checkpoint load failed ({exc}); "
                       "using random init")
 
-    def step_batch(self, pstate, cstate, commands):
-        """(B,) physics+control states -> (B, 13) weights."""
+    def step_batch(self, pstate, cstate, commands, prev_action=None):
+        """(B,) physics+control states -> ((B, 13) weights, (B, 12) action).
+
+        prev_action is the previous tick's raw action (B, 12) — training obs
+        include it (sim/env.py EnvState.actions), so deployment must feed the
+        true value, not zeros, for the policy to stay in-distribution."""
         from ..sim import physics
 
-        def one(ps, cs):
+        if prev_action is None:
+            batch = pstate.q.shape[0]
+            prev_action = jnp.zeros((batch, 12), jnp.float32)
+
+        def one(ps, cs, pa):
             body = physics.root_state_vector(ps)
             se = state_estimator.update(cs.est, body)
-            w, _ = policy_step(self.model, self.params, se, ps.q, ps.qd,
-                               commands, jnp.zeros(12))
-            return w
+            return policy_step(self.model, self.params, se, ps.q, ps.qd,
+                               commands, pa)
 
-        return jax.vmap(one)(pstate, cstate)
+        return jax.vmap(one)(pstate, cstate, prev_action)

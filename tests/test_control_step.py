@@ -92,6 +92,39 @@ class TestControlTraceParity:
                 assert np.abs(got - want).max() / scale < 2e-3, (
                     f"GRF mismatch:\n{got}\nvs\n{want}")
 
+    def test_qp_divergence_fallback(self):
+        """A solve flagged as diverged (primal violation > tol) must hold the
+        previous f_ff and cold-start the solver state — the SURVEY §5
+        fallback for mpc_osqp.cc:791-794's unhandled empty-vector case."""
+        commands = np.array([0.5, 0.0, 0.0], np.float32)
+        traj = synthetic_trajectory(4, seed=5)
+        params = robots.aliengo_params()
+        qp = QPConfig(iters=30, iters2=0, adaptive_rho=False, polish=False)
+
+        def run(tol):
+            cfg = ControlConfig(qp=qp, flat_ground=True,
+                                qp_divergence_tol=tol)
+            state = runner.init_state(params, cfg)
+            step = jax.jit(lambda s, q, qd, b: runner.min_step(
+                params, cfg, s, q, qd, b, jnp.array(commands)))
+            mets = []
+            for q, qd, b in traj:
+                state, tau, metrics = step(state, jnp.array(q),
+                                           jnp.array(qd), jnp.array(b))
+                mets.append(metrics)
+            return state, mets
+
+        # tol = -1: every solve "diverges" -> f_ff pinned at its init (zeros)
+        # and warm-start stays cold
+        state, mets = run(-1.0)
+        assert bool(np.asarray(mets[1]["qp_diverged"]))
+        np.testing.assert_allclose(np.asarray(state.loco.f_ff), 0.0)
+        np.testing.assert_allclose(np.asarray(state.loco.qp_state.x), 0.0)
+        # generous tol: solves commit normally
+        state, mets = run(1e6)
+        assert not bool(np.asarray(mets[1]["qp_diverged"]))
+        assert np.abs(np.asarray(state.loco.f_ff)).max() > 1.0
+
     def test_batch_heterogeneous_robots(self):
         """A1+Go1+Aliengo in one vmapped batch (BASELINE config 3)."""
         registry = robots.robot_registry()

@@ -55,6 +55,38 @@ class TestObservations:
             + np.asarray(weight_policy.MPC_PARAM_SCALE))  # clipped to 1
 
 
+class TestStepBatch:
+    def _setup(self):
+        from rl_mpc_locomotion_tpu.sim import physics
+        from rl_mpc_locomotion_tpu.control.weight_policy import WeightPolicy
+
+        params = robots.aliengo_params()
+        cfg = ControlConfig(qp=CHEAP_QP)
+        q0 = jnp.tile(jnp.array([0.0, 0.8, -1.6], jnp.float32), 4)
+        pstate = jax.vmap(lambda _: physics.init_state(params, q0, 0.345))(
+            jnp.arange(2))
+        cstate = jax.vmap(lambda _: runner.init_state(params, cfg))(
+            jnp.arange(2))
+        policy = WeightPolicy(hidden=(16,))
+        return policy, pstate, cstate
+
+    def test_prev_action_threads_into_obs(self):
+        """Deployment obs must carry the true previous action (training obs
+        include it, sim/env.py EnvState.actions); zeros vs the real value
+        must change the policy output."""
+        policy, pstate, cstate = self._setup()
+        cmds = jnp.array([0.5, 0.0, 0.0], jnp.float32)
+        w0, a0 = policy.step_batch(pstate, cstate, cmds)
+        assert w0.shape == (2, 13) and a0.shape == (2, 12)
+        # feeding the returned action back changes the next output
+        w1, a1 = policy.step_batch(pstate, cstate, cmds, a0)
+        assert np.abs(np.asarray(w1) - np.asarray(w0)).max() > 1e-6
+        # explicit zeros reproduce the default
+        z = jnp.zeros((2, 12), jnp.float32)
+        w2, _ = policy.step_batch(pstate, cstate, cmds, z)
+        np.testing.assert_allclose(np.asarray(w2), np.asarray(w0), atol=1e-7)
+
+
 class TestPolicyStep:
     def test_policy_fsm_step_runs(self):
         params = robots.aliengo_params()
