@@ -209,12 +209,16 @@ def cmd_train(args):
     # Pallas solver on TPU; XLA path elsewhere
     qp = production_qp_config()._replace(
         use_pallas=_jax.default_backend() == "tpu")
+    dr = None
+    if args.dr:
+        from .sim.randomize import DomainRandomization
+        dr = DomainRandomization()
     cfg = train_mod.TrainConfig(
         num_envs=args.num_envs,
         max_iterations=args.max_iterations or 5000,
         seed=args.seed,
         ppo=PPOConfig(),
-        env=EnvConfig(control=ControlConfig(qp=qp)),
+        env=EnvConfig(control=ControlConfig(qp=qp), dr=dr),
     )
     if args.config:
         # YAML overlay (cfg/*.yaml) + dotted-key CLI overrides, the Hydra
@@ -236,10 +240,16 @@ def cmd_train(args):
         mesh = Mesh(np.array(jax.devices()).reshape(-1), ("env",))
     ter = _make_terrain(args.terrain)
     from .utils.profiling import device_trace
+    resume_from = args.resume
+    if resume_from == "":  # bare --resume: latest run in the save dir
+        if not args.checkpoint:
+            raise SystemExit("--resume without a path needs --checkpoint")
+        resume_from = args.checkpoint
     with device_trace(args.profile_dir):
         train_mod.train(params, cfg, ter, mesh=mesh,
                         checkpoint_dir=args.checkpoint,
-                        log_dir=args.log_dir)
+                        log_dir=args.log_dir,
+                        resume_from=resume_from)
 
 
 def cmd_bench(args):
@@ -284,7 +294,14 @@ def main(argv=None):
                          "when this flag is omitted)")
     pt.add_argument("--seed", type=int, default=1)
     pt.add_argument("--terrain", default="flat", choices=TERRAINS)
+    pt.add_argument("--dr", action="store_true",
+                    help="enable domain randomization (per-env friction/"
+                         "mass/damping/contact-stiffness draws)")
     pt.add_argument("--checkpoint", default=None)
+    pt.add_argument("--resume", nargs="?", const="", default=None,
+                    metavar="PATH",
+                    help="resume from a checkpoint (model_<i> path or run "
+                         "dir; bare --resume uses the --checkpoint dir)")
     pt.add_argument("--multi-device", action="store_true")
     pt.add_argument("--log-dir", default=None, metavar="DIR",
                     help="write metrics.jsonl + TensorBoard scalars here")

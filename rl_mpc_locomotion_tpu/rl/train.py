@@ -11,6 +11,7 @@ pair of jitted functions:
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from functools import partial
 from typing import Optional
@@ -102,16 +103,42 @@ def make_train_step(params: RobotParams, cfg: TrainConfig,
     return jax.jit(smapped), reset_batch
 
 
+def resume_train_state(resume_from: str, train_state, log_fn=print):
+    """Restore a TrainState from a checkpoint path or run directory.
+
+    Directory without a model_<i> basename -> latest-checkpoint discovery,
+    the reference's get_load_path flow (train.py:63-72,
+    rsl_rl_utils.py:49-74). Returns (train_state, start_iteration)."""
+    from ..utils.checkpoint import latest_checkpoint, restore_checkpoint
+
+    path = resume_from
+    base = os.path.basename(os.path.normpath(path))
+    if not base.startswith("model_"):
+        found = latest_checkpoint(path)
+        if found is None:
+            raise FileNotFoundError(
+                f"no model_<i> checkpoints under {path!r}")
+        path = found
+    train_state = restore_checkpoint(path, train_state)
+    start_it = int(os.path.basename(path).split("_")[1])
+    log_fn(f"[train] resumed from {path} (iteration {start_it})")
+    return train_state, start_it
+
+
 def train(params: RobotParams, cfg: TrainConfig,
           ter: Optional[terrain_mod.Terrain] = None, mesh=None,
           log_fn=print, checkpoint_dir: Optional[str] = None,
           max_iterations: Optional[int] = None,
-          log_dir: Optional[str] = None):
+          log_dir: Optional[str] = None,
+          resume_from: Optional[str] = None):
     """Outer training loop (OnPolicyRunner.learn equivalent).
 
     ``log_dir`` enables the metrics sink (JSONL + TensorBoard scalars via
     utils/metrics.MetricsWriter) — the rsl_rl OnPolicyRunner TensorBoard
-    equivalent (SURVEY §5 metrics channel 2)."""
+    equivalent (SURVEY §5 metrics channel 2). ``resume_from`` restores
+    params/optimizer/rng from a checkpoint (path or run dir; latest-run
+    discovery like the reference's checkpoint=) and runs ``max_iterations``
+    *additional* iterations, numbering continuing from the restored step."""
     if ter is None:
         ter = terrain_mod.flat()
     model = ActorCritic(num_actions=env_mod.NUM_ACTIONS)
@@ -119,6 +146,10 @@ def train(params: RobotParams, cfg: TrainConfig,
     rng, init_key, env_key = jax.random.split(rng, 3)
     train_state = ppo.init_train_state(init_key, model, env_mod.NUM_OBS,
                                        cfg.ppo)
+    start_it = 0
+    if resume_from:
+        train_state, start_it = resume_train_state(resume_from, train_state,
+                                                   log_fn)
     step_fn, reset_batch = make_train_step(params, cfg, ter, model, mesh)
     env_state, obs = reset_batch(env_key)
     if mesh is not None:
@@ -134,15 +165,17 @@ def train(params: RobotParams, cfg: TrainConfig,
         from ..utils.metrics import MetricsWriter
         writer = MetricsWriter(log_dir)
     t0 = time.time()
+    end_it = start_it + iters
     try:
-        for it in range(iters):
+        for it in range(start_it, end_it):
             train_state, env_state, obs, tick, metrics = step_fn(
                 train_state, env_state, obs, tick)
-            if it % 10 == 0 or it == iters - 1:
+            if it % 10 == 0 or it == end_it - 1:
                 m = {k: float(v) for k, v in metrics.items()}
                 m["iter"] = it
                 m["steps_per_s"] = (cfg.ppo.num_steps * cfg.num_envs
-                                    * (it + 1) / (time.time() - t0))
+                                    * (it - start_it + 1)
+                                    / (time.time() - t0))
                 history.append(m)
                 if writer is not None:
                     writer.write(it, m, prefix="train/")

@@ -24,7 +24,7 @@ from ..control import runner
 from ..control.types import ControlConfig, ControlState
 from ..models.robots import RobotParams
 from ..ops import rotations as rot
-from . import physics, terrain as terrain_mod
+from . import physics, randomize as randomize_mod, terrain as terrain_mod
 
 NUM_OBS = 48
 NUM_ACTIONS = 12
@@ -63,6 +63,11 @@ class EnvConfig:
     gait_id: int = 0
     control: ControlConfig = ControlConfig()
     physics: physics.PhysicsConfig = physics.PhysicsConfig()
+    # domain randomization (vec_task.py:449-705 engine, invoked at :310):
+    # per-env friction/mass/damping/contact-stiffness draws applied to the
+    # *simulated* physics only — the controller keeps the nominal model, so
+    # training sees model mismatch. None disables (nominal draws).
+    dr: Optional[randomize_mod.DomainRandomization] = None
 
 
 class EnvState(NamedTuple):
@@ -73,6 +78,7 @@ class EnvState(NamedTuple):
     torques: jnp.ndarray        # (12,) last applied torques
     progress: jnp.ndarray       # () int32
     global_tick: jnp.ndarray    # () int32 — aligned MPC schedule
+    rand: randomize_mod.RandomizedPhysics  # this env's DR draw
     rng: jax.Array
 
 
@@ -98,7 +104,7 @@ def reset(params: RobotParams, cfg: EnvConfig, rng,
     deviation: the reference restarts gait phase at 0; here the phase
     restarts at the global tick — equivalent randomization strength).
     """
-    r1, r2, r3 = jax.random.split(rng, 3)
+    r1, r2, r3, r4 = jax.random.split(rng, 4)
     q0 = DEFAULT_DOF_POS * jax.random.uniform(r1, (12,), minval=0.5,
                                               maxval=1.5)
     qd0 = jax.random.uniform(r2, (12,), minval=-0.1, maxval=0.1)
@@ -107,6 +113,10 @@ def reset(params: RobotParams, cfg: EnvConfig, rng,
     ctrl = runner.init_state(params, cfg.control)
     ctrl = ctrl._replace(loco=ctrl.loco._replace(
         iteration_counter=jnp.int32(global_tick)))
+    if cfg.dr is not None:
+        rand = randomize_mod.sample(cfg.dr, cfg.physics, r4)
+    else:
+        rand = randomize_mod.identity(cfg.physics)
     return EnvState(
         phys=phys, ctrl=ctrl,
         commands=_sample_commands(r3, cfg),
@@ -114,6 +124,7 @@ def reset(params: RobotParams, cfg: EnvConfig, rng,
         torques=jnp.zeros(12, jnp.float32),
         progress=jnp.int32(0),
         global_tick=jnp.asarray(global_tick, jnp.int32),
+        rand=rand,
         rng=rng,
     )
 
@@ -182,8 +193,13 @@ def step(params: RobotParams, cfg: EnvConfig, ter: terrain_mod.Terrain,
         body_state, state.commands, mpc_weights=weights,
         gait_id=cfg.gait_id, solve_gate=solve_gate)
 
+    # randomized physics: the simulator steps with this env's DR draw while
+    # the controller above used the nominal model (vec_task.py:310 applies
+    # randomization to sim properties, never to the MPC's model)
+    phys_cfg = randomize_mod.apply_to_config(cfg.physics, state.rand)
+    phys_params = randomize_mod.apply_to_params(params, state.rand)
     new_phys, foot_forces, foot_contact = physics.step(
-        params, cfg.physics, ter, state.phys, torques)
+        phys_params, phys_cfg, ter, state.phys, torques)
 
     # trunk/knee collision: any contact point below terrain
     pts = physics.body_contact_points(params, new_phys)
@@ -195,6 +211,16 @@ def step(params: RobotParams, cfg: EnvConfig, ter: terrain_mod.Terrain,
     state = state._replace(
         phys=new_phys, ctrl=new_ctrl, actions=action, torques=torques,
         progress=state.progress + 1, global_tick=state.global_tick + 1)
+
+    # scheduled mid-episode re-randomization (vec_task rand_freq; reset
+    # always re-draws via reset() below)
+    if cfg.dr is not None and cfg.dr.frequency > 0:
+        rng, dr_key = jax.random.split(state.rng)
+        redraw = (state.progress % cfg.dr.frequency) == 0
+        fresh_rand = randomize_mod.sample(cfg.dr, cfg.physics, dr_key)
+        rand = jax.tree.map(lambda f, s: jnp.where(redraw, f, s),
+                            fresh_rand, state.rand)
+        state = state._replace(rand=rand, rng=rng)
 
     rew, done = _reward_and_reset(params, cfg, state, knee_contact,
                                   base_contact)

@@ -70,6 +70,16 @@ class RandomizedPhysics(NamedTuple):
     mass_scale: jnp.ndarray
 
 
+def identity(cfg: PhysicsConfig) -> RandomizedPhysics:
+    """The no-op draw: nominal physics (used when DR is disabled so the
+    EnvState pytree keeps a stable shape either way)."""
+    return RandomizedPhysics(
+        friction_mu=jnp.float32(cfg.friction_mu),
+        joint_damping=jnp.float32(cfg.joint_damping),
+        contact_kn=jnp.float32(cfg.contact_kn),
+        mass_scale=jnp.float32(1.0))
+
+
 def sample(dr: DomainRandomization, cfg: PhysicsConfig, rng) -> RandomizedPhysics:
     """Draw one environment's randomization (vmap for the batch)."""
     k1, k2, k3, k4 = jax.random.split(rng, 4)

@@ -85,6 +85,97 @@ class TestEnv:
         assert rew.shape == (4,)
 
 
+class TestDomainRandomization:
+    def test_reset_draws_differ_per_env(self):
+        """Two envs in one batch get different physics draws (vec_task
+        apply_randomizations per-env semantics)."""
+        import dataclasses
+        from rl_mpc_locomotion_tpu.sim import randomize
+        params, _, ter = make_env()
+        cfg = dataclasses.replace(FAST_ENV, dr=randomize.DomainRandomization())
+        keys = jax.random.split(jax.random.PRNGKey(7), 4)
+        states = jax.vmap(lambda k: env_mod.reset(params, cfg, k))(keys)
+        mu = np.asarray(states.rand.friction_mu)
+        assert np.unique(mu).size == 4
+        lo, hi = cfg.dr.friction.range_
+        nominal = cfg.physics.friction_mu
+        assert np.all(mu >= lo * nominal - 1e-6)
+        assert np.all(mu <= hi * nominal + 1e-6)
+
+    def test_different_draws_diverge_physics(self):
+        """Identical initial state + action stream, different friction/mass
+        draws -> trajectories diverge (DR actually reaches physics.step)."""
+        import dataclasses
+        from rl_mpc_locomotion_tpu.sim import randomize
+        params, _, ter = make_env()
+        cfg = dataclasses.replace(FAST_ENV, dr=randomize.DomainRandomization())
+        s0 = env_mod.reset(params, cfg, jax.random.PRNGKey(3))
+        s1 = s0._replace(rand=randomize.sample(cfg.dr, cfg.physics,
+                                               jax.random.PRNGKey(99)))
+        states = jax.tree.map(lambda a, b: jnp.stack([a, b]), s0, s1)
+        step = jax.jit(jax.vmap(
+            lambda s, a: env_mod.step(params, cfg, ter, s, a)))
+        for _ in range(10):
+            states, obs, rew, done, info = step(states, jnp.zeros((2, 12)))
+        q = np.asarray(states.phys.q)
+        assert np.abs(q[0] - q[1]).max() > 1e-4
+
+    def test_dr_off_is_nominal(self):
+        params, cfg, ter = make_env()  # FAST_ENV has dr=None
+        state = env_mod.reset(params, cfg, jax.random.PRNGKey(0))
+        assert float(state.rand.friction_mu) == cfg.physics.friction_mu
+        assert float(state.rand.mass_scale) == 1.0
+
+    def test_frequency_redraws_mid_episode(self):
+        import dataclasses
+        from rl_mpc_locomotion_tpu.sim import randomize
+        params, _, ter = make_env()
+        dr = randomize.DomainRandomization(frequency=3)
+        cfg = dataclasses.replace(FAST_ENV, dr=dr)
+        state = env_mod.reset(params, cfg, jax.random.PRNGKey(11))
+        mu0 = float(state.rand.friction_mu)
+        step = jax.jit(lambda s, a: env_mod.step(params, cfg, ter, s, a))
+        mus = []
+        for _ in range(4):
+            state, *_ = step(state, jnp.zeros(12))
+            mus.append(float(state.rand.friction_mu))
+        assert mus[0] == mu0 and mus[1] == mu0   # progress 1, 2: no redraw
+        assert mus[2] != mu0                     # progress 3: redraw
+        assert mus[3] == mus[2]
+
+
+class TestResume:
+    def test_resume_restores_params_and_step(self, tmp_path):
+        """resume_train_state: latest-run discovery + orbax restore + start
+        iteration parsing (reference train.py:63-72 / rsl_rl_utils:49-74)."""
+        from rl_mpc_locomotion_tpu.utils.checkpoint import save_checkpoint
+        model = ActorCritic(num_actions=12, hidden=(16,))
+        cfg = ppo.PPOConfig()
+        ts = ppo.init_train_state(jax.random.PRNGKey(5), model,
+                                  env_mod.NUM_OBS, cfg)
+        save_checkpoint(str(tmp_path), 3, ts)
+        save_checkpoint(str(tmp_path), 7, ts)  # latest
+
+        ts_fresh = ppo.init_train_state(jax.random.PRNGKey(6), model,
+                                        env_mod.NUM_OBS, cfg)
+        restored, start_it = train_mod.resume_train_state(
+            str(tmp_path), ts_fresh, log_fn=lambda *_: None)
+        assert start_it == 7
+        want = jax.tree.leaves(ts.params)
+        got = jax.tree.leaves(restored.params)
+        for w, g in zip(want, got):
+            np.testing.assert_allclose(np.asarray(w), np.asarray(g))
+
+    def test_resume_missing_dir_raises(self, tmp_path):
+        import pytest
+        model = ActorCritic(num_actions=12, hidden=(16,))
+        ts = ppo.init_train_state(jax.random.PRNGKey(0), model,
+                                  env_mod.NUM_OBS, ppo.PPOConfig())
+        with pytest.raises(FileNotFoundError):
+            train_mod.resume_train_state(str(tmp_path / "nope"), ts,
+                                         log_fn=lambda *_: None)
+
+
 class TestPhysics:
     def test_energy_sanity_freefall(self):
         """No contact: body accelerates at -g."""
