@@ -86,17 +86,31 @@ def cmd_play(args):
     @jax.jit
     def tick(pstate, cstate, passive_iters, weights, control_mode, commands,
              gait_id):
+        # scalar QP gate: when no robot is in LOCOMOTION, lax.cond skips the
+        # MPC solve for the whole fleet (parked-in-recovery fleets previously
+        # paid the dominant QP cost for nothing). Robots entering locomotion
+        # this tick don't run it yet (2-tick transition protocol), so the
+        # state read at tick start is safe.
+        from .control import fsm as fsm_mod
+        any_loco = jnp.any(cstate.fsm.state == fsm_mod.LOCOMOTION)
+        # ... and only on ticks where some robot's MPC schedule fires
+        # (per-robot counters mask the commit inside locomotion.step)
+        any_want = jnp.any(
+            (cstate.loco.iteration_counter + 1)
+            % cfg.iterations_between_mpc == 0)
+        any_loco = jnp.logical_and(any_loco, any_want)
+
         def one(ps, cs, pi, w):
             body = physics.root_state_vector(ps)
             if args.mode in ("Fsm", "Policy"):
                 cs, tau, pi, m = runner.fsm_step(
                     params, cfg, cs, pi, ps.q, ps.qd, body, commands,
                     mpc_weights=w, gait_id=gait_id,
-                    control_mode=control_mode)
+                    control_mode=control_mode, solve_gate=any_loco)
             else:
                 cs, tau, m = runner.min_step(
                     params, cfg, cs, ps.q, ps.qd, body, commands,
-                    mpc_weights=w, gait_id=gait_id)
+                    mpc_weights=w, gait_id=gait_id, solve_gate=any_want)
             ps, _, _ = physics.step(params, pcfg, ter, ps, tau)
             return ps, cs, pi, m
         if weights is None:

@@ -98,12 +98,14 @@ def _solve_mpc(params: RobotParams, cfg: ControlConfig, se: StateEstimate,
 
     mu = params.friction_coeff
     lb, ub = srb.constraint_bounds(mpc_table, params.body_mass, mu, horizon)
-    p_m, q_m, _ = qp_mod.mask_swing_variables(p_mat, q_vec, mpc_table, horizon)
+    # swing-variable mask (mask_swing_variables) is applied inside solve_qp
+    # — fused into the Pallas kernel on the batched path
+    mask = jnp.repeat(mpc_table.reshape(-1), 3)
     c_blocks = jnp.tile(srb.friction_cone_block(mu)[None],
                         (horizon * 4, 1, 1))
 
-    x, new_qp_state, diag = qp_mod.solve_qp(p_m, q_m, c_blocks, lb, ub,
-                                            qp_state, cfg.qp)
+    x, new_qp_state, diag = qp_mod.solve_qp(p_mat, q_vec, c_blocks, lb, ub,
+                                            qp_state, cfg.qp, mask=mask)
     # sign flip: solver variable is GRF on the body; f_ff is foot-on-ground
     # (mpc_osqp.cc:789-790, 940-942)
     f_ff = -x[:12].reshape(4, 3)

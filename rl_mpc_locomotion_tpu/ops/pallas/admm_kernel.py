@@ -81,39 +81,34 @@ def _panel_width(n: int) -> int:
     return 1
 
 
-def _gj_admm_kernel(iters: int, sigma: float, relax: float,
-                    k_hbm, q_ref, c_ref, l_ref, u_ref, rho_ref,
-                    x0_ref, z0_ref, y0_ref,
-                    x_out, z_out, y_out,
-                    kbuf, sem):
-    """One robot tile: K (N,N,TR) DMA'd to VMEM, inverted in place by
-    blocked Gauss-Jordan, then ADMM-iterated.
+def gj_invert_inplace(kbuf, num_panels=None):
+    """Invert the (n, n, tr) SPD tile in ``kbuf`` in place by blocked
+    Gauss-Jordan.
 
     Why Gauss-Jordan instead of Cholesky + L^-1: on the VPU the cost of
-    dense factorization is VMEM traffic — full (N,N,TR) buffer passes. The
-    scalar right-looking Cholesky + forward substitution costs ~2N full
-    passes (~240 for N=120) plus N more inside the ADMM matvecs. Blocked GJ
-    with panel width NP produces K^-1 *explicitly* in N/NP full passes
-    (15 for N=120, NP=8): per panel, the 8x8 pivot block inverse and the
-    row/column slabs are cheap (N,NP,TR)-sized work, and the trailing
+    dense factorization is VMEM traffic — full (n,n,tr) buffer passes. The
+    scalar right-looking Cholesky + forward substitution costs ~2n full
+    passes (~240 for n=120) plus n more inside the ADMM matvecs. Blocked GJ
+    with panel width NP produces K^-1 *explicitly* in n/NP full passes
+    (15 for n=120, NP=8): per panel, the 8x8 pivot block inverse and the
+    row/column slabs are cheap (n,NP,tr)-sized work, and the trailing
     update is a single rank-NP pass with NP fused multiply-adds per
     element. With K^-1 explicit, each ADMM x-update is ONE buffer pass
     (sum_j Kinv[:,j] rhs_j) instead of the two triangular passes W, W^T.
     No pivoting is needed: K = P + sigma I + C^T diag(rho) C is SPD (and
     Ruiz-equilibrated), so the pivots stay positive; the classic in-place
     GJ sign convention (row * d, col * -d) is used.
+
+    ``num_panels`` (traced scalar or None = all) limits elimination to the
+    leading num_panels*NP rows/cols — correct when the trailing block is
+    decoupled (zero cross terms), e.g. swing-masked GRF variables that were
+    permuted to the tail (fused_qp kernel). The trailing diagonal is left
+    untouched (caller overwrites it with its closed-form inverse).
     """
-    t = pl.program_id(0)
-
-    # ---- fetch K tile (manual DMA; single-buffered, no pipelining) -----
-    dma = pltpu.make_async_copy(
-        k_hbm.at[:, :, pl.ds(t * TR, TR)], kbuf, sem)
-    dma.start()
-    dma.wait()
-
-    i_row = jax.lax.broadcasted_iota(jnp.int32, (N, 1, 1), 0)   # i index
-    j_col = jax.lax.broadcasted_iota(jnp.int32, (1, N, 1), 1)   # j index
-    np_w = _panel_width(N)
+    n = kbuf.shape[0]
+    i_row = jax.lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)   # i index
+    j_col = jax.lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)   # j index
+    np_w = _panel_width(n)
 
     def panel_step(p, _):
         c0 = p * np_w
@@ -159,7 +154,26 @@ def _gj_admm_kernel(iters: int, sigma: float, relax: float,
         kbuf[pl.ds(c0, np_w), :, :] = jnp.where(in_pj, inv_embed, t_slab)
         return 0
 
-    jax.lax.fori_loop(0, N // np_w, panel_step, 0)
+    total = n // np_w if num_panels is None else num_panels
+    jax.lax.fori_loop(0, total, panel_step, 0)
+
+
+def _gj_admm_kernel(iters: int, sigma: float, relax: float,
+                    k_hbm, q_ref, c_ref, l_ref, u_ref, rho_ref,
+                    x0_ref, z0_ref, y0_ref,
+                    x_out, z_out, y_out,
+                    kbuf, sem):
+    """One robot tile: K (N,N,TR) DMA'd to VMEM, inverted in place by
+    blocked Gauss-Jordan (see gj_invert_inplace), then ADMM-iterated."""
+    t = pl.program_id(0)
+
+    # ---- fetch K tile (manual DMA; single-buffered, no pipelining) -----
+    dma = pltpu.make_async_copy(
+        k_hbm.at[:, :, pl.ds(t * TR, TR)], kbuf, sem)
+    dma.start()
+    dma.wait()
+
+    gj_invert_inplace(kbuf)
 
     def kinv_apply(rhs):
         # kbuf now holds K^-1 densely: one buffer pass per x-update

@@ -1,0 +1,281 @@
+"""Fully-fused GRF-QP solve: one Pallas kernel per robot tile that subsumes
+the reference's entire per-solve pipeline (mpc_osqp.cc:578-948, minus the
+condensation matmuls which stay on the MXU in XLA).
+
+Round-1 profiling showed the solve tick at batch 4096 spends ~21 ms in
+XLA-side QP *prep* — Ruiz equilibration, swing masking, K = P + sigma I +
+C^T rho C assembly, warm-start scaling — because every step is a separate
+pass over the (B,120,120) Hessian in HBM. This kernel DMAs the raw Hessian
+once and does everything else in VMEM:
+
+  1. swing-variable masking          (ops/qp.mask_swing_variables)
+  2. modified Ruiz equilibration     (ops/qp.ruiz_equilibrate)
+  3. K assembly (sigma I + C^T rho C on the block diagonal)
+  4. warm-start scaling
+  5. blocked Gauss-Jordan inverse    (admm_kernel.gj_invert_inplace)
+  6. fixed-iteration ADMM            (admm_kernel._admm_math)
+  7. deferred adaptive-rho rescale   (OSQP eq. 20; see note below)
+  8. unscale + primal-violation diagnostic
+
+HBM traffic per solve drops to: write P once (XLA matmul output), read P
+once (kernel DMA), small vectors. Everything else lives in VMEM.
+
+Deferred-rho note: the XLA path computes the dual residual as p_s @ x with
+the scaled Hessian. Here the Hessian buffer holds K^-1 by the time the
+residual is needed, so P x_t is recovered from the ADMM identity
+  K x_t = sigma x - q + C^T (rho z - y)   =>
+  P x_t = K x_t - sigma x_t - C^T rho C x_t
+using one extra K^-1 apply (an implicit final half-iteration). The rho
+rescale is a convergence heuristic (OSQP sec. 5.2); evaluating it at x_t
+instead of the relaxed x changes rho_mult trajectories slightly but not the
+fixed point.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import admm_kernel
+
+
+def _ruiz_in_vmem(kbuf, q_s, cs, iters: int):
+    """Ruiz equilibration with the Hessian resident in VMEM (in-place in
+    ``kbuf``). Port of ops/qp.ruiz_equilibrate to the robots-in-lanes
+    layout: kbuf (n,n,tr), q_s (n,tr), cs (nb,5,3,tr).
+
+    Returns (q_s, cs, d, e, c_cost); kbuf holds the scaled Hessian.
+    """
+    n, _, tr = kbuf.shape
+    nb = cs.shape[0]
+    m = nb * 5
+    d = jnp.ones((n, tr), jnp.float32)
+    e = jnp.ones((m, tr), jnp.float32)
+    c_cost = jnp.ones((1, tr), jnp.float32)
+
+    for _ in range(iters):  # static unroll (small count)
+        col_p = jnp.max(jnp.abs(kbuf[:, :, :]), axis=0)        # (n,tr)
+        col_c = jnp.max(jnp.abs(cs), axis=1).reshape(n, tr)
+        col = jnp.maximum(col_p, col_c)
+        row_c = jnp.max(jnp.abs(cs), axis=2).reshape(m, tr)
+        dd = jax.lax.rsqrt(jnp.maximum(col, 1e-8))
+        de = jax.lax.rsqrt(jnp.maximum(row_c, 1e-8))
+        kbuf[:, :, :] = (kbuf[:, :, :] * dd.reshape(n, 1, tr)
+                         * dd.reshape(1, n, tr))
+        q_s = q_s * dd
+        cs = cs * de.reshape(nb, 5, 1, tr) * dd.reshape(nb, 1, 3, tr)
+        d = d * dd
+        e = e * de
+        # cost scaling (OSQP sec 5.1) on the freshly scaled problem
+        colp = jnp.mean(jnp.max(jnp.abs(kbuf[:, :, :]), axis=0), axis=0,
+                        keepdims=True)                          # (1,tr)
+        qinf = jnp.max(jnp.abs(q_s), axis=0, keepdims=True)
+        gamma = 1.0 / jnp.maximum(jnp.maximum(colp, qinf), 1e-8)
+        kbuf[:, :, :] = kbuf[:, :, :] * gamma.reshape(1, 1, tr)
+        q_s = q_s * gamma
+        c_cost = c_cost * gamma
+    return q_s, cs, d, e, c_cost
+
+
+def _fused_kernel(iters: int, sigma: float, relax: float, rho_base: float,
+                  rho_eq_scale: float, ruiz_iters: int, deferred_rho: bool,
+                  p_hbm, q_ref, c_ref, l_ref, u_ref, rm_ref, mask_ref,
+                  x0_ref, z0_ref, y0_ref,
+                  x_out, z_out, y_out, rm_out, viol_out,
+                  kbuf, sem):
+    # sizes via the module so tests can shrink them (see admm_kernel)
+    n, m, nb, tr = (admm_kernel.N, admm_kernel.M, admm_kernel.NB,
+                    admm_kernel.TR)
+    t = pl.program_id(0)
+
+    dma = pltpu.make_async_copy(
+        p_hbm.at[:, :, pl.ds(t * tr, tr)], kbuf, sem)
+    dma.start()
+    dma.wait()
+
+    q = q_ref[:, :]                 # (n,tr)
+    c0 = c_ref[:, :, :, :]          # (nb,5,3,tr)
+    lb = l_ref[:, :]                # (m,tr)
+    ub = u_ref[:, :]
+    rho_mult = rm_ref[:, :]         # (1,tr)
+    mask = mask_ref[:, :]           # (n,tr) in {0,1}: 1 = active GRF var
+
+    # ---- 1. swing masking (ops/qp.mask_swing_variables in VMEM) --------
+    kbuf[:, :, :] = (kbuf[:, :, :] * mask.reshape(n, 1, tr)
+                     * mask.reshape(1, n, tr))
+    iota_i = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)
+    iota_j = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 1)
+    on_diag = (iota_i == iota_j).astype(jnp.float32)
+    kbuf[:, :, :] = kbuf[:, :, :] + on_diag * (1.0 - mask).reshape(1, n, tr)
+    q_m = q * mask
+
+    # ---- 2. Ruiz equilibration -----------------------------------------
+    q_s, cs, d, e, c_cost = _ruiz_in_vmem(kbuf, q_m, c0, ruiz_iters)
+    l_s = e * lb
+    u_s = e * ub
+
+    # ---- 3. per-row rho with equality boost + K assembly ---------------
+    eq_row = (ub - lb) < 1e-9
+    base = rho_base * rho_mult                                  # (1,tr)
+    rho = jnp.where(eq_row, base * rho_eq_scale, base)          # (m,tr)
+
+    rho_b = rho.reshape(nb, 5, 1, tr)
+    a_blk = cs * rho_b                                          # (nb,5,3,tr)
+    # blk[k,i,j] = sum_m a[k,m,i] c[k,m,j]  -> (nb,3,3,tr)
+    # (basic slices + size-1 reshapes only: integer/newaxis indexing of
+    # traced values lowers to an N-D lax.gather Mosaic can't handle)
+    blk = sum(
+        a_blk[:, mm:mm + 1, :, :].reshape(nb, 3, 1, tr)
+        * cs[:, mm:mm + 1, :, :].reshape(nb, 1, 3, tr)
+        for mm in range(5))
+    eye3 = jnp.eye(3, dtype=jnp.float32).reshape(1, 3, 3, 1)
+    blk = blk + sigma * eye3
+    for k in range(nb):  # static 3x3 diagonal-block updates
+        r0 = 3 * k
+        kbuf[r0:r0 + 3, r0:r0 + 3, :] = (
+            kbuf[r0:r0 + 3, r0:r0 + 3, :]
+            + blk[k:k + 1, :, :, :].reshape(3, 3, tr))
+
+    # ---- 4. warm-start scaling ------------------------------------------
+    x = x0_ref[:, :] / d
+    z = z0_ref[:, :] * e
+    y = y0_ref[:, :] * (c_cost / e)
+
+    # ---- 5./6. factor + iterate -----------------------------------------
+    admm_kernel.gj_invert_inplace(kbuf)
+
+    def kinv_apply(rhs):
+        return jnp.sum(kbuf[:, :, :] * rhs.reshape(1, n, tr), axis=1)
+
+    x, z, y = admm_kernel._admm_math(iters, sigma, relax, kinv_apply,
+                                     cs, q_s, l_s, u_s, rho, x, z, y)
+
+    def c_apply(cb, v):
+        v3 = v.reshape(nb, 1, 3, tr)
+        return jnp.sum(cb * v3, axis=2).reshape(m, tr)
+
+    def ct_apply(cb, w):
+        w5 = w.reshape(nb, 5, 1, tr)
+        return jnp.sum(cb * w5, axis=1).reshape(n, tr)
+
+    # ---- 7. deferred adaptive rho (OSQP eq. 20 at x_t) ------------------
+    if deferred_rho:
+        rhs_f = sigma * x - q_s + ct_apply(cs, rho * z - y)
+        x_t = kinv_apply(rhs_f)
+        cx = c_apply(cs, x_t)
+        px = rhs_f - sigma * x_t - ct_apply(cs, rho * cx)
+
+        def colmax(v):
+            return jnp.max(jnp.abs(v), axis=0, keepdims=True)   # (1,tr)
+
+        pri = colmax(cx - z)
+        pri_rel = pri / jnp.maximum(jnp.maximum(colmax(cx), colmax(z)), 1e-8)
+        cty = ct_apply(cs, y)
+        dua = colmax(px + q_s + cty)
+        dua_rel = dua / jnp.maximum(
+            jnp.maximum(colmax(px), jnp.maximum(colmax(cty), colmax(q_s))),
+            1e-8)
+        scale = jnp.sqrt(pri_rel / jnp.maximum(dua_rel, 1e-10))
+        scale = jnp.clip(scale, 1e-2, 1e2)
+        new_rm = jnp.clip(rho_mult * scale, 1e-3, 1e3)
+    else:
+        new_rm = rho_mult
+
+    # ---- 8. unscale + primal violation ----------------------------------
+    x_u = x * d
+    z_u = c_apply(c0, x_u)
+    y_u = y * (e / c_cost)
+    viol = jnp.maximum(
+        jnp.max(jnp.maximum(lb - z_u, z_u - ub), axis=0, keepdims=True), 0.0)
+
+    x_out[:, :] = x_u
+    z_out[:, :] = z_u
+    y_out[:, :] = y_u
+    rm_out[:, :] = new_rm
+    viol_out[:, :] = viol
+
+
+def fused_solve_batch(p_mat, q_vec, c_blocks, lb, ub, mask, x, z, y,
+                      rho_mult, *, iters: int, sigma: float, relax: float,
+                      rho_base: float, rho_eq_scale: float, ruiz_iters: int,
+                      deferred_rho: bool, interpret: bool = False):
+    """Batched full QP solve via the fused kernel.
+
+    Args are batch-major and *raw* (unmasked, unscaled): p_mat (B,N,N),
+    q_vec (B,N), c_blocks (B,NB,5,3), lb/ub (B,M), mask (B,N) in {0,1},
+    warm start x (B,N), z/y (B,M), rho_mult (B,).
+    Returns (x, z, y, rho_mult, viol) batch-major / (B,).
+    """
+    n, m, nb, tr = (admm_kernel.N, admm_kernel.M, admm_kernel.NB,
+                    admm_kernel.TR)
+    b = p_mat.shape[0]
+    b_pad = ((b + tr - 1) // tr) * tr
+
+    def pad(a):
+        return jnp.pad(a, [(0, b_pad - b)] + [(0, 0)] * (a.ndim - 1))
+
+    p_p = pad(p_mat)
+    if b_pad > b:
+        eye = jnp.broadcast_to(jnp.eye(n, dtype=p_mat.dtype),
+                               (b_pad - b, n, n))
+        p_p = p_p.at[b:].set(eye)
+    rm_p = pad(rho_mult.reshape(b, 1))
+    rm_p = jnp.where(rm_p == 0, 1.0, rm_p)     # padded lanes: neutral rho
+    mask_p = pad(mask)
+    if b_pad > b:
+        mask_p = mask_p.at[b:].set(1.0)        # padded lanes: keep P = I
+
+    p_soa = jnp.moveaxis(p_p, 0, -1)           # (N,N,Bp)
+    q_soa = jnp.moveaxis(pad(q_vec), 0, -1)
+    c_soa = jnp.moveaxis(pad(c_blocks), 0, -1)
+    l_soa = jnp.moveaxis(pad(lb), 0, -1)
+    u_soa = jnp.moveaxis(pad(ub), 0, -1)
+    rm_soa = jnp.moveaxis(rm_p, 0, -1)         # (1,Bp)
+    m_soa = jnp.moveaxis(mask_p, 0, -1)
+    x_soa = jnp.moveaxis(pad(x), 0, -1)
+    z_soa = jnp.moveaxis(pad(z), 0, -1)
+    y_soa = jnp.moveaxis(pad(y), 0, -1)
+
+    grid = (b_pad // tr,)
+    vec_spec = lambda dim: pl.BlockSpec((dim, tr), lambda t: (0, t),
+                                        memory_space=pltpu.VMEM)
+    c_spec = pl.BlockSpec((nb, 5, 3, tr), lambda t: (0, 0, 0, t),
+                          memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_fused_kernel, iters, sigma, relax, rho_base,
+                               rho_eq_scale, ruiz_iters, deferred_rho)
+    x_o, z_o, y_o, rm_o, viol_o = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),      # P stays in HBM
+            vec_spec(n), c_spec, vec_spec(m), vec_spec(m), vec_spec(1),
+            vec_spec(n), vec_spec(n), vec_spec(m), vec_spec(m),
+        ],
+        out_specs=(vec_spec(n), vec_spec(m), vec_spec(m), vec_spec(1),
+                   vec_spec(1)),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, b_pad), jnp.float32),
+            jax.ShapeDtypeStruct((m, b_pad), jnp.float32),
+            jax.ShapeDtypeStruct((m, b_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, b_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, b_pad), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n, n, tr), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            # kbuf (N*N*TR*4 = 7.4 MB) + one full-size elementwise
+            # temporary (GJ trailing update / Ruiz scale) + IO blocks
+            vmem_limit_bytes=48 * 1024 * 1024),
+        interpret=interpret,
+    )(p_soa, q_soa, c_soa, l_soa, u_soa, rm_soa, m_soa, x_soa, z_soa, y_soa)
+
+    back = lambda a: jnp.moveaxis(a, -1, 0)[:b]
+    return (back(x_o), back(z_o), back(y_o),
+            back(rm_o).reshape(-1), back(viol_o).reshape(-1))

@@ -233,8 +233,14 @@ def _admm_iters(k_inv, p_s, q_s, c_s, l_s, u_s, rho, sigma, relax, n_iters,
     return jax.lax.fori_loop(0, n_iters, body, (x, z, y))
 
 
-def solve_qp(p_mat, q_vec, c_blocks, lb, ub, state: QPState, cfg: QPConfig):
+def solve_qp(p_mat, q_vec, c_blocks, lb, ub, state: QPState, cfg: QPConfig,
+             mask=None):
     """Solve one QP. All args single-robot; vmap for the batch.
+
+    ``mask``: optional (n,) {0,1} swing-variable mask. When given, p/q are
+    *raw* and the masking (mask_swing_variables) is applied inside — fused
+    into the Pallas kernel on the batched fast path. When None, p/q must be
+    pre-masked by the caller.
 
     Returns (x, new_state, diagnostics dict).
 
@@ -242,7 +248,54 @@ def solve_qp(p_mat, q_vec, c_blocks, lb, ub, state: QPState, cfg: QPConfig):
     (~3 decimal digits) are not enough for the KKT solve.
     """
     with jax.default_matmul_precision("float32"):
+        if _fused_eligible(cfg):
+            m = jnp.ones(p_mat.shape[0], p_mat.dtype) if mask is None else mask
+            solver = _make_fused_solver(cfg)
+            x_u, z_u, y_u, rm, viol = solver(
+                p_mat, q_vec, c_blocks, lb, ub, m,
+                state.x, state.z, state.y, state.rho_mult)
+            return (x_u, QPState(x=x_u, z=z_u, y=y_u, rho_mult=rm),
+                    {"primal_violation": viol})
+        if mask is not None:
+            p_mat = p_mat * mask[:, None] * mask[None, :] + jnp.diag(1.0 - mask)
+            q_vec = q_vec * mask
         return _solve_qp_impl(p_mat, q_vec, c_blocks, lb, ub, state, cfg)
+
+
+def _fused_eligible(cfg: QPConfig) -> bool:
+    """The fused Pallas kernel covers the production solve shape: fixed
+    iterations with optional deferred rho. Polish / immediate adaptive-rho
+    (the offline-accuracy knobs) stay on the XLA path."""
+    return cfg.use_pallas and not cfg.adaptive_rho and not cfg.polish
+
+
+@functools.lru_cache(maxsize=None)
+def _make_fused_solver(cfg: QPConfig):
+    """Whole-solve custom-vmap op: unbatched calls run the XLA pipeline;
+    under vmap the entire batch (mask -> Ruiz -> K -> factor -> ADMM ->
+    rho rescale -> unscale) runs in the fused Pallas kernel."""
+    xla_cfg = cfg._replace(use_pallas=False)
+
+    @jax.custom_batching.custom_vmap
+    def solve_full(p, q, c, lb, ub, mask, x, z, y, rho_mult):
+        pm = p * mask[:, None] * mask[None, :] + jnp.diag(1.0 - mask)
+        qm = q * mask
+        x_u, st, diag = _solve_qp_impl(pm, qm, c, lb, ub,
+                                       QPState(x, z, y, rho_mult), xla_cfg)
+        return x_u, st.z, st.y, st.rho_mult, diag["primal_violation"]
+
+    @solve_full.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        args = [a if bt else jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+                for a, bt in zip(args, in_batched)]
+        from .pallas.fused_qp import fused_solve_batch
+        out = fused_solve_batch(
+            *args, iters=cfg.iters, sigma=cfg.sigma, relax=cfg.relax,
+            rho_base=cfg.rho, rho_eq_scale=cfg.rho_eq_scale,
+            ruiz_iters=cfg.ruiz_iters, deferred_rho=cfg.deferred_rho)
+        return out, (True,) * 5
+
+    return solve_full
 
 
 def _solve_qp_impl(p_mat, q_vec, c_blocks, lb, ub, state: QPState,
