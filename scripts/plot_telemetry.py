@@ -1,0 +1,95 @@
+"""Plot MPC telemetry logs: the reference's offline loss/tracking analysis
+(MPC_Controller/Logger.py pickles consumed per docs/2-development_log.md:141-144)
+for this framework's logs.
+
+Input: a ``mpclog_*.npz`` written by utils/metrics.MPCFrameLogger.flush(),
+or the raw ``.bin`` native ring-buffer log (utils/native_runtime.
+TelemetryLogger format). Output: ``<log>_plots.png`` with
+  1. MPC loss decomposition (state / torque / total) per solve,
+  2. CoM state vs desired (z, roll/pitch, vx/vy tracking),
+  3. step-0 GRF vertical forces per leg.
+
+Usage: python scripts/plot_telemetry.py logs/mpclog_XXXX.npz [out.png]
+"""
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import matplotlib
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+
+from rl_mpc_locomotion_tpu.utils.metrics import (MPC_FRAME_SIZE,  # noqa: E402
+                                                 unpack_mpc_frames)
+
+
+def load_frames(path: str) -> dict:
+    if path.endswith(".npz"):
+        with np.load(path) as z:
+            return {k: z[k] for k in z.files}
+    from rl_mpc_locomotion_tpu.utils.native_runtime import TelemetryLogger
+    raw = TelemetryLogger.read(path)
+    return unpack_mpc_frames(raw.reshape(-1, MPC_FRAME_SIZE))
+
+
+def main(argv):
+    if len(argv) < 2:
+        print(__doc__)
+        return 2
+    path = argv[1]
+    out = argv[2] if len(argv) > 2 else os.path.splitext(path)[0] + "_plots.png"
+    d = load_frames(path)
+    n = d["com_state"].shape[0]
+    if n == 0:
+        print("empty log")
+        return 1
+    tick = d["tick"][:, 0]
+    com, des, grf, loss = d["com_state"], d["desired_state"], d["grf"], d["loss"]
+
+    fig, axes = plt.subplots(2, 2, figsize=(12, 8))
+    ax = axes[0, 0]
+    ax.plot(tick, loss[:, 0], label="state loss")
+    ax.plot(tick, loss[:, 1], label="torque loss")
+    ax.plot(tick, loss[:, 2], label="total", lw=2)
+    ax.set_title("MPC loss decomposition (ConvexMPCLocomotion.py:192-215)")
+    ax.set_xlabel("control tick")
+    ax.legend()
+
+    # state layout: (rpy 0:3, xyz 3:6, omega 6:9, v 9:12, -g)
+    ax = axes[0, 1]
+    ax.plot(tick, com[:, 5], label="z")
+    ax.plot(tick, des[:, 5], "--", label="z desired")
+    ax.plot(tick, com[:, 0], label="roll")
+    ax.plot(tick, com[:, 1], label="pitch")
+    ax.set_title("CoM height & attitude")
+    ax.set_xlabel("control tick")
+    ax.legend()
+
+    ax = axes[1, 0]
+    ax.plot(tick, com[:, 9], label="vx")
+    ax.plot(tick, des[:, 9], "--", label="vx desired")
+    ax.plot(tick, com[:, 10], label="vy")
+    ax.plot(tick, des[:, 10], "--", label="vy desired")
+    ax.set_title("velocity tracking")
+    ax.set_xlabel("control tick")
+    ax.legend()
+
+    ax = axes[1, 1]
+    for leg, name in enumerate(("FR", "FL", "RR", "RL")):
+        ax.plot(tick, grf[:, 3 * leg + 2], label=f"fz {name}")
+    ax.set_title("step-0 GRF vertical forces")
+    ax.set_xlabel("control tick")
+    ax.set_ylabel("N")
+    ax.legend()
+
+    fig.tight_layout()
+    fig.savefig(out, dpi=120)
+    print(f"wrote {out} ({n} frames)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv))

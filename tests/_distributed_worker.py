@@ -1,0 +1,91 @@
+"""Worker process for tests/test_distributed.py.
+
+Launched twice (process_id 0/1) with 4 local CPU devices each; brings up
+jax.distributed, builds the global 8-device env mesh across both processes,
+and runs ONE sharded PPO train step (rollout + update with cross-process
+pmean gradient reduction). Prints ``RESULT <pid> <mean_reward> <psum>`` for
+the parent to compare across processes.
+
+Run directly:  python tests/_distributed_worker.py <pid> <port>
+"""
+import sys
+
+
+def main():
+    pid = int(sys.argv[1])
+    port = int(sys.argv[2])
+
+    import jax
+    # NOTE: with jax.distributed, --xla_force_host_platform_device_count is
+    # ignored; local CPU device count must come from jax_num_cpu_devices.
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 4)
+
+    from rl_mpc_locomotion_tpu.parallel import distributed
+    distributed.initialize(f"localhost:{port}", num_processes=2,
+                           process_id=pid)
+    assert jax.process_count() == 2, jax.process_count()
+    assert jax.device_count() == 8, jax.device_count()
+    assert jax.local_device_count() == 4
+
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rl_mpc_locomotion_tpu.control.types import ControlConfig
+    from rl_mpc_locomotion_tpu.models import robots
+    from rl_mpc_locomotion_tpu.models.actor_critic import ActorCritic
+    from rl_mpc_locomotion_tpu.ops.qp import QPConfig
+    from rl_mpc_locomotion_tpu.parallel.mesh import ENV_AXIS
+    from rl_mpc_locomotion_tpu.rl import ppo
+    from rl_mpc_locomotion_tpu.rl import train as train_mod
+    from rl_mpc_locomotion_tpu.sim import env as env_mod
+    from rl_mpc_locomotion_tpu.sim import terrain
+
+    mesh = distributed.global_env_mesh()
+    env_shard = NamedSharding(mesh, P(ENV_AXIS))
+    rep = NamedSharding(mesh, P())
+
+    # cross-process collective sanity check first (cheap to compile)
+    x = jax.device_put(np.arange(8, dtype=np.float32), env_shard)
+    psum = jax.jit(jax.shard_map(lambda v: jax.lax.psum(v, ENV_AXIS),
+                                 mesh=mesh, in_specs=P(ENV_AXIS),
+                                 out_specs=P()))(x)
+    psum_val = float(np.asarray(psum.addressable_data(0))[0])
+    assert psum_val == 28.0, psum_val
+
+    # one real sharded train step: 8 envs, 1 per device, 2 rollout steps
+    qp = QPConfig(iters=8, iters2=0, adaptive_rho=False, ruiz_iters=1,
+                  polish=False)
+    cfg = train_mod.TrainConfig(
+        num_envs=8,
+        ppo=ppo.PPOConfig(num_steps=2, num_epochs=1, num_minibatches=1),
+        env=env_mod.EnvConfig(control=ControlConfig(qp=qp)))
+    params = robots.aliengo_params()
+    ter = terrain.flat()
+    model = ActorCritic(num_actions=env_mod.NUM_ACTIONS)
+    train_state = ppo.init_train_state(jax.random.PRNGKey(1), model,
+                                       env_mod.NUM_OBS, cfg.ppo)
+    step_fn, reset_batch = train_mod.make_train_step(params, cfg, ter, model,
+                                                     mesh)
+    env_state, obs = reset_batch(jax.random.PRNGKey(2))
+
+    # host-local -> global arrays (every process computed identical values)
+    glob = lambda sh: (lambda v: jax.device_put(np.asarray(v), sh))
+    env_state = jax.tree.map(glob(env_shard), env_state)
+    obs = glob(env_shard)(obs)
+    train_state = jax.tree.map(glob(rep), train_state)
+    tick = glob(rep)(np.int32(0))
+
+    train_state, env_state, obs, tick, metrics = step_fn(
+        train_state, env_state, obs, tick)
+    mr = float(np.asarray(jax.device_get(metrics["mean_reward"])))
+    assert np.isfinite(mr), mr
+    # replicated params must be identical across processes: fingerprint them
+    leaves = jax.tree.leaves(train_state.params)
+    fp = float(sum(np.asarray(jax.device_get(l)).sum() for l in leaves))
+    print(f"RESULT {pid} {mr:.6f} {fp:.6f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
