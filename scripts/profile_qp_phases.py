@@ -71,8 +71,31 @@ w = jnp.tile(jnp.asarray(params.mpc_weights, jnp.float32)[None], (B, 1))
 cmds = jnp.tile(jnp.array([0.5, 0.0, 0.0], jnp.float32), (B, 1))
 com_z = jnp.full((B,), 0.35, jnp.float32)
 
+def prep_ab(rpy, foot_positions, mpc_table, weights, commands, com_z):
+    gravity_vec = jnp.array([0.0, 0.0, 1.0], jnp.float32)
+    r_feet = (rot.rot_x(rpy[0]).T @ rot.rot_y(rpy[1]).T @ rot.rot_z(rpy[2]).T)
+    foot_world = foot_positions @ r_feet.T
+    rotation = rot.rpy_to_rot(rpy).T
+    inv_inertia = jnp.linalg.inv(params.body_inertia)
+    inv_inertia_world = rotation @ inv_inertia @ rotation.T
+    a_mat = srb.build_a_mat(rpy, gravity_vec)
+    b_mat = srb.build_b_mat(1.0 / params.body_mass, inv_inertia_world, foot_world)
+    return srb.discretize_exact(a_mat, b_mat, 0.02)
+
+
+def prep_condense(*args):
+    a_exp, b_exp = prep_ab(*args)
+    return srb.condense(a_exp, b_exp, H)
+
+
 prep = jax.jit(jax.vmap(prep_one))
 res = {}
+res["prep_ab_ms"] = timeit(jax.jit(jax.vmap(prep_ab)),
+                           rpy, foot, table, w, cmds, com_z)
+print("prep_ab", res, flush=True)
+res["prep_condense_ms"] = timeit(jax.jit(jax.vmap(prep_condense)),
+                                 rpy, foot, table, w, cmds, com_z)
+print("prep_condense", res, flush=True)
 res["prep_ms"] = timeit(prep, rpy, foot, table, w, cmds, com_z)
 print("prep", res, flush=True)
 
