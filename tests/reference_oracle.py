@@ -5,7 +5,9 @@ semantics (RobotRunnerMin.run -> LegController/StateEstimator/
 ConvexMPCLocomotion.run -> mpc_osqp.cc), with the QP solved exactly by
 scipy. Used to validate the vectorized f32 JAX stack trace-by-trace.
 
-Flat-ground path only (Parameters.flat_ground=True equivalent).
+Covers the flat-ground path (Parameters.flat_ground=True) and the
+non-flat path: contact-history plane-fit ground normal (StateEstimator.py:
+120-144) feeding the slope-aware gravity column (mpc_osqp.cc:299-322).
 """
 from __future__ import annotations
 
@@ -75,6 +77,27 @@ def quat_to_rpy_ref(q_wxyz):
 def rot_z_coord(theta):
     c, s = np.cos(theta), np.sin(theta)
     return np.array([[c, s, 0], [-s, c, 0], [0, 0, 1]])
+
+
+def rot_from_normals_np(world_normal, ground_normal):
+    """Normal-alignment rotation — matches ops/rotations.rot_from_normals
+    (normalized Rodrigues axis; the documented deviation from the
+    reference's unnormalized orientation_tools.py:89-95)."""
+    axis = np.cross(world_normal, ground_normal)
+    norm = np.linalg.norm(axis)
+    axis = axis / max(norm, 1e-8)
+    theta = np.arccos(np.clip(np.dot(world_normal, ground_normal), -1, 1))
+    c, s = np.cos(theta), np.sin(theta)
+    v = 1.0 - c
+    k = axis
+    m = np.array([
+        [k[0] * k[0] * v + c, k[0] * k[1] * v - k[2] * s,
+         k[0] * k[2] * v + k[1] * s],
+        [k[0] * k[1] * v + k[2] * s, k[1] * k[1] * v + c,
+         k[1] * k[2] * v - k[0] * s],
+        [k[0] * k[2] * v - k[1] * s, k[1] * k[2] * v + k[0] * s,
+         k[2] * k[2] * v + c]])
+    return m.T  # coordinate-transform convention
 
 
 def cubic_bezier(y0, yf, x):
@@ -162,13 +185,23 @@ def solve_qp_scipy(P, q, C, lb, ub, mask=None):
 
 
 class OracleController:
-    """Min-mode controller, flat ground, trot."""
+    """Min-mode controller, flat ground; gait defaults to trot.
 
-    def __init__(self, dt=0.01, ipm=2, horizon=10, alpha=1e-5):
+    ``gait``: optional (offsets, durations) in MPC segments — the
+    ConvexMPCLocomotion.py:30-56 tables (e.g. bound (5,5,0,0)/(4,4,4,4),
+    walk (0,3,5,8)/(5,5,5,5))."""
+
+    def __init__(self, dt=0.01, ipm=2, horizon=10, alpha=1e-5, gait=None,
+                 flat_ground=True):
         self.robot = OracleRobot()
         self.dt, self.ipm, self.h, self.alpha = dt, ipm, horizon, alpha
         self.dt_mpc = dt * ipm
-        self.gait = OracleGait()
+        self.gait = OracleGait() if gait is None else OracleGait(
+            offsets=gait[0], durations=gait[1])
+        self.flat_ground = flat_ground
+        # non-flat state (StateEstimator.py:99-144 equivalents)
+        self.ground_normal_yaw = np.array([0.0, 0.0, 1.0])
+        self.foot_contact_history = np.zeros((4, 3))
         self.counter = 0
         self.first_run = True
         self.first_swing = [True] * 4
@@ -189,15 +222,20 @@ class OracleController:
         v_world = body_state[7:10]
         omega_world = body_state[10:13]
         rpy = quat_to_rpy_ref(quat)
-        # flat ground: ground normal [0,0,1]; ground_R_body =
-        # rBody @ world_R_yaw.T (yaw_R_ground = I)
+        # ground_R_body = rBody @ world_R_yaw.T @ yaw_R_ground.T; on flat
+        # ground the normal stays [0,0,1] so yaw_R_ground = I
         world_r_yaw = rot_z_coord(rpy[2])  # rpy_to_rot([0,0,yaw])
-        ground_r_body = r_body @ world_r_yaw.T
+        yaw_r_ground = rot_from_normals_np(np.array([0.0, 0.0, 1.0]),
+                                           self.ground_normal_yaw)
+        ground_r_body = r_body @ world_r_yaw.T @ yaw_r_ground.T
         rpy_body = quat_to_rpy_ref(rot_to_quat_ref(ground_r_body))
         return dict(quat=quat, r_body=r_body, v_world=v_world,
                     omega_world=omega_world, v_body=r_body @ v_world,
                     omega_body=r_body @ omega_world, rpy=rpy,
-                    rpy_body=rpy_body, ground_r_body=ground_r_body)
+                    rpy_body=rpy_body, ground_r_body=ground_r_body,
+                    # snapshot: the solve uses the PRE-update normal (the
+                    # StateEstimate is built before update_ground_estimate)
+                    normal=self.ground_normal_yaw.copy())
 
     def run(self, dof_q, dof_qd, body_state, commands):
         robot = self.robot
@@ -224,13 +262,27 @@ class OracleController:
             for i in range(4):
                 self.p0[i] = p_foot[i]
                 self.pf[i] = p_foot[i]
+            self.foot_contact_history = foot_positions.copy()
+            self.foot_contact_history[:, 2] = -self.robot.height
 
-        # flat-ground CoM height update
+        # CoM height update (StateEstimator.py:109-118)
         if self.contact_phase.sum() > 0:
             fp_ground = foot_positions @ se["ground_r_body"].T
             heights = -fp_ground[:, 2]
             self.com_z = (heights * self.contact_phase).sum() / \
                 self.contact_phase.sum()
+        if not self.flat_ground:
+            # contact history + least-squares plane normal
+            # (StateEstimator.py:120-144; effective from the NEXT tick)
+            for i in range(4):
+                if self.contact_phase[i] > 0:
+                    self.foot_contact_history[i] = foot_positions[i]
+            normal = np.linalg.pinv(self.foot_contact_history) @ np.ones(4)
+            nn = np.linalg.norm(normal)
+            normal = normal / nn if nn > 1e-6 else np.array([0.0, 0.0, 1.0])
+            if normal[2] < 0:
+                normal = -normal
+            self.ground_normal_yaw = normal
         position = np.array([0.0, 0.0, self.com_z])
 
         swing_time = self.gait.swing_time(self.dt_mpc)
@@ -339,14 +391,17 @@ class OracleController:
             xd[i * 13 + 10] = commands[1]
             xd[i * 13 + 12] = -GRAVITY
 
-        # A matrix (flat ground normal)
+        # A matrix; slope-aware gravity column (mpc_osqp.cc:299-322) —
+        # flat ground pins the normal at [0,0,1]
+        gravity_vec = (np.array([0.0, 0.0, 1.0]) if self.flat_ground
+                       else se["normal"])
         a = np.zeros((13, 13))
         cy, sy = np.cos(rpy[2]), np.sin(rpy[2])
         cp, tp = np.cos(rpy[1]), np.tan(rpy[1])
         a[0:3, 6:9] = np.array([[cy / cp, sy / cp, 0], [-sy, cy, 0],
                                 [cy * tp, sy * tp, 1]])
         a[3, 9] = a[4, 10] = a[5, 11] = 1
-        a[9:12, 12] = [0, 0, 1]
+        a[9:12, 12] = gravity_vec
 
         # foot world: Rx Ry Rz (active), mpc_osqp.cc:606-617
         r_feet = (Rotation.from_euler("x", rpy[0]) *

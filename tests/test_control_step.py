@@ -13,7 +13,8 @@ from rl_mpc_locomotion_tpu.ops.qp import QPConfig
 
 from reference_oracle import OracleController
 
-ACCURATE_QP = QPConfig(iters=100, iters2=100, adaptive_rho=True, polish=True)
+# 300+300 iterations: the offline-accuracy config (see tests/test_qp.py)
+ACCURATE_QP = QPConfig(iters=300, iters2=300, adaptive_rho=True, polish=True)
 
 
 def synthetic_trajectory(n_ticks, seed=0):
@@ -65,9 +66,77 @@ class TestControlTraceParity:
         for t, (got, want) in enumerate(zip(ours, oracle_taus)):
             scale = max(1.0, np.abs(want).max())
             err = np.abs(got - want).max()
-            assert err / scale < 2e-2, (
+            assert err / scale < 5e-4, (
                 f"tick {t}: torque err {err:.4f} (scale {scale:.1f})\n"
                 f"got  {got.round(3)}\nwant {want.round(3)}")
+
+    def test_min_mode_bound_walk_gaits(self):
+        """Trace parity for bound (gait 1) and walk (gait 6) — the oracle
+        gait engine is parameterized by the ConvexMPCLocomotion.py:30-56
+        offset/duration tables, matching ops/gait.py rows."""
+        import pytest  # noqa: F401  (kept local; table-driven loop below)
+        cases = [
+            (1, (5, 5, 0, 0), (4, 4, 4, 4)),   # bounding
+            (6, (0, 3, 5, 8), (5, 5, 5, 5)),   # walking
+        ]
+        n_ticks = 12
+        commands = np.array([0.3, 0.0, 0.1], np.float32)
+        traj = synthetic_trajectory(n_ticks, seed=9)
+        params = robots.aliengo_params()
+        cfg = ControlConfig(qp=ACCURATE_QP, flat_ground=True)
+        for gait_id, offs, durs in cases:
+            oracle = OracleController(gait=(offs, durs))
+            oracle_taus = [oracle.run(q.astype(float), qd.astype(float),
+                                      b.astype(float), commands.astype(float))
+                           for q, qd, b in traj]
+            state = runner.init_state(params, cfg)
+            step = jax.jit(lambda s, q, qd, b: runner.min_step(
+                params, cfg, s, q, qd, b, jnp.array(commands),
+                gait_id=gait_id))
+            for t, (q, qd, b) in enumerate(traj):
+                state, tau, _ = step(state, jnp.array(q), jnp.array(qd),
+                                     jnp.array(b))
+                want = oracle_taus[t]
+                scale = max(1.0, np.abs(want).max())
+                err = np.abs(np.asarray(tau) - want).max()
+                assert err / scale < 5e-4, (
+                    f"gait {gait_id} tick {t}: err {err:.4f}\n"
+                    f"got  {np.asarray(tau).round(3)}\nwant {want.round(3)}")
+
+    def test_min_mode_nonflat_ground_normal(self):
+        """Trace parity for flat_ground=False: the contact-history plane-fit
+        normal (StateEstimator.py:120-144) and the slope-aware gravity
+        column (mpc_osqp.cc:299-322). The synthetic trajectory's per-leg
+        joint perturbations make the fitted normal deviate from vertical,
+        so this genuinely exercises the non-flat path."""
+        n_ticks = 12
+        commands = np.array([0.4, 0.0, 0.0], np.float32)
+        traj = synthetic_trajectory(n_ticks, seed=21)
+        oracle = OracleController(flat_ground=False)
+        oracle_taus = [oracle.run(q.astype(float), qd.astype(float),
+                                  b.astype(float), commands.astype(float))
+                       for q, qd, b in traj]
+        # sanity: the oracle's estimated normal must have moved off vertical
+        assert abs(oracle.ground_normal_yaw[0]) + \
+            abs(oracle.ground_normal_yaw[1]) > 1e-4
+
+        params = robots.aliengo_params()
+        cfg = ControlConfig(qp=ACCURATE_QP, flat_ground=False)
+        state = runner.init_state(params, cfg)
+        step = jax.jit(lambda s, q, qd, b: runner.min_step(
+            params, cfg, s, q, qd, b, jnp.array(commands)))
+        for t, (q, qd, b) in enumerate(traj):
+            state, tau, _ = step(state, jnp.array(q), jnp.array(qd),
+                                 jnp.array(b))
+            want = oracle_taus[t]
+            scale = max(1.0, np.abs(want).max())
+            err = np.abs(np.asarray(tau) - want).max()
+            assert err / scale < 5e-4, (
+                f"tick {t}: err {err:.4f}\n"
+                f"got  {np.asarray(tau).round(3)}\nwant {want.round(3)}")
+        # and the JAX estimator's normal agrees with the oracle's
+        np.testing.assert_allclose(np.asarray(state.est.ground_normal_yaw),
+                                   oracle.ground_normal_yaw, atol=1e-4)
 
     def test_grf_parity_single_solve(self):
         """GRF (f_ff) comparison right after the first MPC solve — the
@@ -89,7 +158,9 @@ class TestControlTraceParity:
                 got = np.asarray(metrics["f_ff"])
                 want = oracle.f_ff
                 scale = max(1.0, np.abs(want).max())
-                assert np.abs(got - want).max() / scale < 2e-3, (
+                # north star (BASELINE) is <1e-3; measured 1.5e-5 at 300
+                # iters — hold 1e-4
+                assert np.abs(got - want).max() / scale < 1e-4, (
                     f"GRF mismatch:\n{got}\nvs\n{want}")
 
     def test_qp_divergence_fallback(self):

@@ -90,7 +90,10 @@ def build_grf_qp(seed=0, horizon=10, contact=None):
             np.asarray(lb), np.asarray(ub), np.asarray(mask))
 
 
-ACCURATE = qp_mod.QPConfig(iters=100, iters2=100, adaptive_rho=True,
+# 300+300 iterations: measured worst-case rel err vs the f64 oracle is
+# ~4e-5 across seeds (100+100 left seed 4 at 1.4e-3); this config is the
+# offline-accuracy reference, not the real-time path.
+ACCURATE = qp_mod.QPConfig(iters=300, iters2=300, adaptive_rho=True,
                            polish=True)
 
 
@@ -109,10 +112,11 @@ class TestGRFQP:
             want = solve_oracle(P, q, C_dense, lb, ub, mask)
             scale = max(1.0, np.abs(want).max())
             err = np.abs(x - want).max()
-            assert err / scale < 2e-3, f"seed {seed}: err {err}, scale {scale}"
+            # BASELINE north star is <1e-3; we hold 2e-4 (measured ~4e-5)
+            assert err / scale < 2e-4, f"seed {seed}: err {err}, scale {scale}"
             # step-0 GRFs (the 12 numbers the controller consumes) tighter
             err0 = np.abs(x[:12] - want[:12]).max()
-            assert err0 < 1e-2 * scale / 10, f"seed {seed}: step0 err {err0}"
+            assert err0 < 2e-4 * scale, f"seed {seed}: step0 err {err0}"
 
     def test_kkt_conditions(self):
         P, q, C, lb, ub, mask = build_grf_qp(7)
@@ -183,4 +187,4 @@ class TestGRFQP:
             g = np.asarray(srb.friction_cone_block(0.4))
             want = solve_oracle(Pn, qn, np.kron(np.eye(40), g), lbn, ubn, probs[i][5])
             scale = max(1.0, np.abs(want).max())
-            assert np.abs(np.asarray(xs[i]) - want).max() / scale < 2e-3
+            assert np.abs(np.asarray(xs[i]) - want).max() / scale < 2e-4
