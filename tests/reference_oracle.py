@@ -468,6 +468,169 @@ class OracleController:
         return -x[:12].reshape(4, 3)
 
 
+PASSIVE, LOCOMOTION, RECOVERY_STAND = 0, 1, 2
+STAND_UP, FOLD_LEGS, ROLL_OVER = 0, 1, 2
+
+FOLD_JPOS = np.array([[0.0, 1.4, -2.7], [-0.0, 1.4, -2.7],
+                      [0.0, 1.4, -2.7], [-0.0, 1.4, -2.7]])
+STAND_JPOS = np.array([[0.0, 0.8, -1.6]] * 4)
+ROLL_JPOS = np.array([[1.3, 3.1, -2.77], [0.0, 1.6, -2.77],
+                      [1.3, 3.1, -2.77], [0.0, 1.6, -2.77]])
+
+
+class OracleFSM:
+    """Scalar oracle of the FSM-mode tick (ControlFSM.runFSM :78-138 +
+    FSM_State_{Passive,RecoveryStand,Locomotion}), mirroring the reference
+    semantics the vectorized control/fsm.py implements: the 2-tick
+    NORMAL -> TRANSITIONING protocol (transition ticks emit zero torque),
+    jointPDControl states, the 3-phase recovery ramps with their
+    interpolation quirks, and the fabs-of-bool safety checks."""
+
+    def __init__(self, dt=0.01, initial=RECOVERY_STAND):
+        self.dt = dt
+        self.robot = OracleRobot()
+        self.loco = OracleController(dt=dt)
+        self.state = initial
+        # start TRANSITIONING into the initial state: the first tick runs
+        # its onEnter and emits zero commands (control/types.init_fsm_state)
+        self.op_mode = 1
+        self.next_state = initial
+        self.passive_iter = 0
+        self.unsafe = False
+        # recovery-stand fields
+        self.rc_flag = STAND_UP
+        self.rc_state_iter = 0
+        self.rc_motion_start = 0
+        self.rc_initial = np.zeros((4, 3))
+        s = dt * 100.0
+        self.it = dict(fold_ramp=int(45 / s), fold_settle=int(75 / s),
+                       standup_ramp=int(30 / s), standup_settle=int(30 / s),
+                       rollover_ramp=int(13 / s), rollover_settle=int(15 / s))
+
+    # ---- helpers -------------------------------------------------------
+    def _legs(self, dof_q, dof_qd):
+        ps, vs, js = [], [], []
+        for leg in range(4):
+            p, J = leg_fk(self.robot, dof_q[3 * leg:3 * leg + 3], leg)
+            ps.append(p)
+            js.append(J)
+            vs.append(J @ dof_qd[3 * leg:3 * leg + 3])
+        return np.array(ps), np.array(vs), js
+
+    def _safe(self, body_state, leg_p):
+        quat = np.array([body_state[6], body_state[3], body_state[4],
+                         body_state[5]])
+        rpy = quat_to_rpy_ref(quat)
+        max_rp = np.deg2rad(40.0)
+        roll_bad = rpy[0] > max_rp               # fabs-of-bool quirk
+        pitch_bad = abs(rpy[1]) > max_rp
+        leg_above_hip = np.any(leg_p[:, 2] > 0)
+        leg_y_bad = np.any(leg_p[:, 1] > 0.18)   # fabs-of-bool quirk
+        return not (roll_bad or pitch_bad or leg_above_hip or leg_y_bad)
+
+    def _upside_down(self, body_state):
+        quat = np.array([body_state[6], body_state[3], body_state[4],
+                         body_state[5]])
+        return quat_to_rot_ref(quat)[2, 2] < 0
+
+    def _joint_pd_tau(self, q_des, dof_q, dof_qd, kp=80.0, kd=1.0):
+        tau = np.zeros(12)
+        for leg in range(4):
+            tau[3 * leg:3 * leg + 3] = (
+                kp * (q_des[leg] - dof_q[3 * leg:3 * leg + 3])
+                - kd * dof_qd[3 * leg:3 * leg + 3])
+        return tau
+
+    def _recovery_tau(self, body_state, dof_q, dof_qd):
+        it = self.it
+        curr = self.rc_state_iter - self.rc_motion_start
+        upside = self._upside_down(body_state)
+
+        def interp(max_iter, fin):
+            b = np.clip(curr / max_iter, 0.0, 1.0)
+            return (1.0 - b) * self.rc_initial + b * fin
+
+        if self.rc_flag == STAND_UP:
+            refold = curr > int(it["standup_ramp"] * 0.7) and upside
+            if refold:
+                tau = np.zeros(12)  # fall-through tick emits nothing
+                self.rc_flag = FOLD_LEGS
+                self.rc_initial = dof_q.reshape(4, 3).copy()
+                self.rc_motion_start = self.rc_state_iter + 1
+            else:
+                tau = self._joint_pd_tau(interp(it["standup_ramp"],
+                                                STAND_JPOS), dof_q, dof_qd)
+        elif self.rc_flag == FOLD_LEGS:
+            # interpolation uses rollover_ramp (reference quirk :211)
+            tau = self._joint_pd_tau(interp(it["rollover_ramp"], FOLD_JPOS),
+                                     dof_q, dof_qd)
+            if curr >= it["fold_ramp"] + it["fold_settle"]:
+                self.rc_flag = ROLL_OVER if upside else STAND_UP
+                self.rc_initial = FOLD_JPOS.copy()
+                self.rc_motion_start = self.rc_state_iter + 1
+        else:  # ROLL_OVER
+            tau = self._joint_pd_tau(interp(it["rollover_ramp"], ROLL_JPOS),
+                                     dof_q, dof_qd)
+            if curr > it["rollover_ramp"] + it["rollover_settle"]:
+                self.rc_flag = FOLD_LEGS
+                self.rc_initial = ROLL_JPOS.copy()
+                self.rc_motion_start = self.rc_state_iter + 1
+        self.rc_state_iter += 1
+        return tau
+
+    def _recovery_on_enter(self, body_state, dof_q):
+        upside = self._upside_down(body_state)
+        h = self.loco.com_z
+        stand_ok = 0.2 < h < 0.45
+        self.rc_flag = STAND_UP if (not upside and stand_ok) else FOLD_LEGS
+        self.rc_state_iter = 0
+        self.rc_motion_start = 0
+        self.rc_initial = dof_q.reshape(4, 3).copy()
+
+    # ---- one tick ------------------------------------------------------
+    def run(self, dof_q, dof_qd, body_state, commands, control_mode):
+        leg_p, leg_v, _ = self._legs(dof_q, dof_qd)
+        cur = self.state
+
+        if self.op_mode == 0:  # NORMAL: checkTransition
+            safe = self._safe(body_state, leg_p)
+            if cur == PASSIVE:
+                req = RECOVERY_STAND if control_mode == RECOVERY_STAND \
+                    else PASSIVE
+            elif cur == LOCOMOTION:
+                req = control_mode if safe else RECOVERY_STAND
+                if not safe:
+                    self.unsafe = True
+            else:
+                req = control_mode
+            if req != cur:
+                self.op_mode = 1
+                self.next_state = req
+                return np.zeros(12)  # detection tick: nothing runs
+            # run current state
+            if cur == LOCOMOTION:
+                return self.loco.run(dof_q, dof_qd, body_state, commands)
+            if cur == RECOVERY_STAND:
+                return self._recovery_tau(body_state, dof_q, dof_qd)
+            tau = np.zeros(12)
+            if self.passive_iter < 10:
+                tau = self._joint_pd_tau(
+                    np.tile([0.0, 0.01, 0.01], (4, 1)), dof_q, dof_qd)
+            self.passive_iter += 1
+            return tau
+
+        # TRANSITIONING tick: onExit/onEnter, switch, nothing runs
+        if self.next_state == LOCOMOTION:
+            self.loco = OracleController(dt=self.dt)   # cMPC.initialize
+        elif self.next_state == RECOVERY_STAND:
+            self._recovery_on_enter(body_state, dof_q)
+        else:
+            self.passive_iter = 0
+        self.state = self.next_state
+        self.op_mode = 0
+        return np.zeros(12)
+
+
 def rot_to_quat_ref(rot):
     """orientation_tools.rot_to_quat."""
     r = rot.T

@@ -11,7 +11,7 @@ from rl_mpc_locomotion_tpu.control.types import ControlConfig
 from rl_mpc_locomotion_tpu.models import robots
 from rl_mpc_locomotion_tpu.ops.qp import QPConfig
 
-from reference_oracle import OracleController
+from reference_oracle import OracleController, OracleFSM
 
 # 300+300 iterations: the offline-accuracy config (see tests/test_qp.py)
 ACCURATE_QP = QPConfig(iters=300, iters2=300, adaptive_rho=True, polish=True)
@@ -195,6 +195,51 @@ class TestControlTraceParity:
         state, mets = run(1e6)
         assert not bool(np.asarray(mets[1]["qp_diverged"]))
         assert np.abs(np.asarray(state.loco.f_ff)).max() > 1.0
+
+    def test_fsm_mode_trace(self):
+        """FSM-mode trace parity vs the scalar OracleFSM: initial-recovery
+        onEnter tick, StandUp ramp, the 2-tick transition protocol into
+        LOCOMOTION, locomotion ticks with MPC solves, an injected >40 deg
+        roll tripping the safety gate into RECOVERY_STAND, and the
+        recovery re-entry ramp (ControlFSM.runFSM :78-138 semantics)."""
+        from scipy.spatial.transform import Rotation
+
+        params = robots.aliengo_params()
+        cfg = ControlConfig(qp=ACCURATE_QP, flat_ground=True)
+        oracle = OracleFSM()
+        state = runner.init_state(params, cfg)
+        passive_iter = jnp.int32(0)
+        commands = np.array([0.3, 0.0, 0.0], np.float32)
+        traj = synthetic_trajectory(40, seed=13)
+
+        step = jax.jit(lambda s, pi, q, qd, b, mode: runner.fsm_step(
+            params, cfg, s, pi, q, qd, b, jnp.array(commands),
+            control_mode=mode))
+
+        # schedule: recovery (ticks 0-9), request locomotion (10-24),
+        # roll injection at tick 25 while still requesting locomotion,
+        # then recovery hold (26-39)
+        for t, (q, qd, b) in enumerate(traj):
+            mode = 2 if t < 10 else (1 if t < 26 else 2)
+            if t == 25:  # inject an unsafe roll > 40 deg
+                b = b.copy()
+                b[3:7] = Rotation.from_euler("xyz", [0.8, 0.0, 0.0]
+                                             ).as_quat().astype(np.float32)
+            want = oracle.run(q.astype(float), qd.astype(float),
+                              b.astype(float), commands.astype(float), mode)
+            state, tau, passive_iter, metrics = step(
+                state, passive_iter, jnp.array(q), jnp.array(qd),
+                jnp.array(b), mode)
+            got = np.asarray(tau)
+            scale = max(1.0, np.abs(want).max())
+            err = np.abs(got - want).max()
+            assert err / scale < 5e-4, (
+                f"tick {t} (mode {mode}, oracle state {oracle.state}): "
+                f"err {err:.4f}\ngot  {got.round(3)}\nwant {want.round(3)}")
+        # both sides latched the unsafe flag and ended in recovery
+        assert oracle.unsafe
+        assert bool(np.asarray(state.fsm.locomotion_unsafe))
+        assert int(np.asarray(state.fsm.state)) == 2 == oracle.state
 
     def test_batch_heterogeneous_robots(self):
         """A1+Go1+Aliengo in one vmapped batch (BASELINE config 3)."""
