@@ -32,16 +32,75 @@ def load_frames(path: str) -> dict:
             return {k: z[k] for k in z.files}
     from rl_mpc_locomotion_tpu.utils.native_runtime import TelemetryLogger
     raw = TelemetryLogger.read(path)
-    return unpack_mpc_frames(raw.reshape(-1, MPC_FRAME_SIZE))
+    if raw.ndim == 2 and raw.shape[1] == MPC_FRAME_SIZE:
+        # a full MPCFrameLogger frame stream routed through the native log
+        return unpack_mpc_frames(raw)
+    # generic native log: field names come from the .meta sidecar (the play
+    # CLI writes tick/x/y/z/vx/com_z_est/mpc_loss + per-leg GRFs)
+    meta = path + ".meta"
+    if not os.path.exists(meta):
+        raise SystemExit(f"no .meta sidecar for {path}; unknown frame layout")
+    with open(meta) as f:
+        names = [ln.strip() for ln in f if ln.strip()]
+    if len(names) != raw.shape[1]:
+        raise SystemExit(f"{meta}: {len(names)} fields but frames have "
+                         f"{raw.shape[1]} columns")
+    return {"_generic": {n: raw[:, i] for i, n in enumerate(names)}}
+
+
+def plot_generic(d: dict, out: str) -> int:
+    """Panels for the play CLI's native telemetry fields."""
+    n = len(d["tick"])
+    if n == 0:
+        print("empty log")
+        return 1
+    tick = d["tick"]
+    fig, axes = plt.subplots(2, 2, figsize=(12, 8))
+    ax = axes[0, 0]
+    ax.plot(tick, d["mpc_loss"])
+    ax.set_title("MPC loss (ConvexMPCLocomotion.py:192-215)")
+    ax.set_xlabel("control tick")
+
+    ax = axes[0, 1]
+    ax.plot(tick, d["z"], label="base z")
+    ax.plot(tick, d["com_z_est"], "--", label="com z estimate")
+    ax.set_title("height tracking")
+    ax.set_xlabel("control tick")
+    ax.legend()
+
+    ax = axes[1, 0]
+    ax.plot(tick, d["vx"], label="vx")
+    ax.plot(tick, d["x"], label="x")
+    ax.set_title("forward progress")
+    ax.set_xlabel("control tick")
+    ax.legend()
+
+    ax = axes[1, 1]
+    for leg, name in enumerate(("FR", "FL", "RR", "RL")):
+        key = f"f_{leg}z"
+        if key in d:
+            ax.plot(tick, d[key], label=f"fz {name}")
+    ax.set_title("step-0 GRF vertical forces")
+    ax.set_xlabel("control tick")
+    ax.set_ylabel("N")
+    ax.legend()
+
+    fig.tight_layout()
+    fig.savefig(out, dpi=120)
+    print(f"wrote {out} ({n} frames)")
+    return 0
 
 
 def main(argv):
+    argv = [a for a in argv if a != "--out"]
     if len(argv) < 2:
         print(__doc__)
         return 2
     path = argv[1]
     out = argv[2] if len(argv) > 2 else os.path.splitext(path)[0] + "_plots.png"
     d = load_frames(path)
+    if "_generic" in d:
+        return plot_generic(d["_generic"], out)
     n = d["com_state"].shape[0]
     if n == 0:
         print("empty log")
