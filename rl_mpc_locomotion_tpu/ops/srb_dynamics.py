@@ -102,22 +102,21 @@ def condense(a_exp, b_exp, horizon=10, compat_last_aqp_zero=True):
     gradient via state_diff (mpc_osqp.cc:681), so to match reference GRFs we
     keep it; pass False for the mathematically-correct unroll.
     """
-    # A^1..A^h and A^k B via scans (10 tiny matmuls each)
-    def power_step(prev, _):
-        nxt = a_exp @ prev
-        return nxt, prev
-
-    _, powers = jax.lax.scan(power_step, a_exp, None, length=horizon)
-    # powers[k] = A^(k+1)
+    # A^1..A^h and A^k B, unrolled (h is small and static): under vmap a
+    # lax.scan would run 2h sequential batched-matmul loop iterations whose
+    # per-step launch overhead dominates the (13x13) matmul cost at large
+    # batch; unrolling gives XLA one straight-line region to schedule.
+    # The A^(k+1) = A @ A^k chain also pairs each power with A^k B in the
+    # same step so both unrolls share the h-long dependency chain.
+    powers_l = [a_exp]
+    anb_l = [b_exp]
+    for _ in range(horizon - 1):
+        powers_l.append(a_exp @ powers_l[-1])
+        anb_l.append(a_exp @ anb_l[-1])
     if compat_last_aqp_zero:
-        powers = powers.at[horizon - 1].set(0.0)
-    a_qp = powers.reshape(horizon * STATE_DIM, STATE_DIM)
-
-    def anb_step(prev, _):
-        nxt = a_exp @ prev
-        return nxt, prev
-
-    _, anb = jax.lax.scan(anb_step, b_exp, None, length=horizon)
+        powers_l[horizon - 1] = jnp.zeros_like(powers_l[horizon - 1])
+    a_qp = jnp.stack(powers_l).reshape(horizon * STATE_DIM, STATE_DIM)
+    anb = jnp.stack(anb_l)
     # anb[k] = A^k B, k = 0..h-1 (mpc_osqp.cc:368-373)
 
     # Lower-block-triangular B_qp: block (i, j) = A^(i-j) B for j <= i —
