@@ -187,11 +187,22 @@ def ppo_update(model: ActorCritic, cfg: PPOConfig, train: TrainState,
                 lr = jnp.clip(lr, cfg.lr_min, cfg.lr_max)
             else:
                 lr = train.lr
+            # non-finite guard: a poisoned minibatch (inf advantage, NaN
+            # grad) must not corrupt params/optimizer state — skip the
+            # update entirely and keep the previous lr. Second containment
+            # layer behind sim/env.py's per-env NaN reset.
+            grads_ok = jnp.all(jnp.stack(
+                [jnp.all(jnp.isfinite(g)) for g in jax.tree.leaves(grads)]))
+            lr = jnp.where(grads_ok, lr, train.lr)
             updates, opt_state = opt.update(grads, train.opt_state,
                                             train.params)
             updates = jax.tree.map(lambda u: u * lr, updates)
             params = optax.apply_updates(train.params, updates)
-            train = train._replace(params=params, opt_state=opt_state, lr=lr)
+            keep = lambda new, old: jax.tree.map(
+                lambda n, o: jnp.where(grads_ok, n, o), new, old)
+            train = train._replace(params=keep(params, train.params),
+                                   opt_state=keep(opt_state, train.opt_state),
+                                   lr=lr)
             return train, (loss, pl, vl, kl)
 
         train, stats = jax.lax.scan(mb_body, train,

@@ -225,6 +225,22 @@ def step(params: RobotParams, cfg: EnvConfig, ter: terrain_mod.Terrain,
     rew, done = _reward_and_reset(params, cfg, state, knee_contact,
                                   base_contact)
 
+    # NaN containment: a physics blowup (rare under aggressive DR draws +
+    # penalty contacts) must stay confined to its env — force a reset and
+    # zero the reward so one bad env can never poison the PPO update.
+    # (The reference leans on PhysX's internal clamping here; the pure-JAX
+    # integrator needs the guard to be explicit.)
+    finite = jnp.all(jnp.stack([
+        jnp.all(jnp.isfinite(state.phys.pos)),
+        jnp.all(jnp.isfinite(state.phys.quat)),
+        jnp.all(jnp.isfinite(state.phys.v)),
+        jnp.all(jnp.isfinite(state.phys.omega)),
+        jnp.all(jnp.isfinite(state.phys.q)),
+        jnp.all(jnp.isfinite(state.phys.qd)),
+    ]))
+    rew = jnp.where(finite, rew, 0.0)
+    done = done | jnp.logical_not(finite)
+
     # auto-reset (masked; rng split keeps streams independent)
     rng, rkey = jax.random.split(state.rng)
     state = state._replace(rng=rng)

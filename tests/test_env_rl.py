@@ -212,6 +212,50 @@ class TestPhysics:
         assert float(st.quat[0]) > 0.98  # upright
 
 
+class TestNaNContainment:
+    def test_env_blowup_resets_and_zeroes_reward(self):
+        """A non-finite physics state must be confined to its env: forced
+        done, zero reward, and a finite post-reset state (the guard that
+        kept a rare DR-draw blowup from NaN-poisoning a whole campaign)."""
+        params, cfg, ter = make_env()
+        state = env_mod.reset(params, cfg, jax.random.PRNGKey(2))
+        bad = state._replace(phys=state.phys._replace(
+            qd=state.phys.qd.at[3].set(jnp.nan),
+            v=state.phys.v.at[0].set(jnp.inf)))
+        step = jax.jit(lambda s, a: env_mod.step(params, cfg, ter, s, a))
+        new_state, obs, rew, done, _ = step(bad, jnp.zeros(12))
+        assert bool(done)
+        assert float(rew) == 0.0
+        for leaf in jax.tree.leaves(new_state.phys):
+            assert np.isfinite(np.asarray(leaf)).all()
+        assert np.isfinite(np.asarray(obs)).all()
+
+    def test_ppo_update_skips_nonfinite_gradients(self):
+        """A poisoned rollout (NaN reward -> NaN loss/grads) must leave
+        params, optimizer state and lr untouched."""
+        model = ActorCritic(num_actions=2, hidden=(16,))
+        cfg = ppo.PPOConfig(num_steps=4, num_minibatches=1, num_epochs=1,
+                            schedule="fixed", learning_rate=1e-2)
+        rng = jax.random.PRNGKey(0)
+        ts = ppo.init_train_state(rng, model, 4, cfg)
+        t, b = 4, 2
+        obs = jnp.ones((t, b, 4))
+        action = jnp.zeros((t, b, 2))
+        mean, log_std, value = jax.vmap(
+            lambda o: model.apply(ts.params, o))(obs)
+        lp = ppo.gaussian_log_prob(mean, log_std, action)
+        reward = jnp.full((t, b), jnp.nan)
+        traj = ppo.Transition(obs=obs, action=action, log_prob=lp,
+                              value=value, reward=reward,
+                              done=jnp.zeros((t, b)), mean=mean,
+                              log_std=log_std)
+        new_ts, _ = ppo.ppo_update(model, cfg, ts, traj, jnp.zeros(b))
+        for old, new in zip(jax.tree.leaves(ts.params),
+                            jax.tree.leaves(new_ts.params)):
+            np.testing.assert_array_equal(np.asarray(old), np.asarray(new))
+        assert float(new_ts.lr) == float(ts.lr)
+
+
 class TestPPO:
     def test_gae_matches_manual(self):
         cfg = ppo.PPOConfig(gamma=0.9, lam=0.8)
