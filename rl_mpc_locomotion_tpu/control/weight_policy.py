@@ -5,10 +5,16 @@ a trained actor-critic predicts the 12 MPC cost weights online from a 48-dim
 observation assembled from the state estimate; the weights feed the MPC via
 DesiredStateCommand (weights + [0] gravity placeholder).
 
-Obs layout (WeightPolicy.compute_observations :125-145):
-  [vBody*lin_scale(3), omegaBody*ang_scale(3), -ground_normal_yaw(3),
-   commands*scales(3), dof_pos*pos_scale(12), dof_vel*vel_scale(12),
-   prev_action(12)]
+Obs layout: the DEPLOYMENT path builds observations identical to the
+TRAINING env's (sim/env.observations: base pos, body-frame velocities,
+commands, dof offsets from stand pose, dof velocities, prev action) so a
+trained checkpoint stays in-distribution. NOTE a deliberate fix over the
+reference: its WeightPolicy.compute_observations (:125-145) assembles a
+DIFFERENT layout than its training env (aliengo.py:410-444 — base_pos and
+dof−default vs projected-gravity and raw dof), so its trained policy is
+out-of-distribution at deployment. The reference layout is kept here as
+``compute_observations`` for parity documentation.
+
 Action mapping (:111-123 / Parameters.py:25-33):
   clip to [-1,1] -> scale * a + const.
 """
@@ -21,9 +27,14 @@ import jax.numpy as jnp
 
 from ..models.actor_critic import ActorCritic
 from ..models.robots import RobotParams
+from ..ops import rotations as rot
 from .types import ControlConfig, ControlState, StateEstimate
 from . import fsm as fsm_mod
 from . import leg_controller, state_estimator
+
+# stand pose — must equal sim/env.DEFAULT_DOF_POS (obs parity); duplicated
+# here because sim imports control (no back-edge)
+STAND_DOF_POS = jnp.tile(jnp.array([0.0, 0.8, -1.6], jnp.float32), 4)
 
 MPC_PARAM_SCALE = jnp.array([4, 4, 4, 20, 20, 20, 1, 1, 1, 1, 1, 1],
                             jnp.float32)
@@ -56,6 +67,30 @@ def compute_observations(se: StateEstimate, dof_q, dof_qd, commands,
     ])
 
 
+def compute_observations_train_parity(body_state, dof_q, dof_qd, commands,
+                                      prev_action,
+                                      scales: PolicyScales = PolicyScales(),
+                                      clip_obs: float = 5.0):
+    """48-dim observation in the TRAINING layout (sim/env.observations):
+    [base pos(3), v_body(3), omega_body(3), commands(3),
+     dof_pos - stand(12), dof_vel(12), prev_action(12)], clipped.
+
+    body_state: (13,) [pos, quat xyzw, linvel, angvel] (root-state layout).
+    """
+    quat = jnp.stack([body_state[6], body_state[3], body_state[4],
+                      body_state[5]])
+    r_bw = rot.quat_to_rot(quat)
+    lin = (r_bw @ body_state[7:10]) * scales.lin_vel
+    ang = (r_bw @ body_state[10:13]) * scales.ang_vel
+    cmd_scaled = commands * jnp.array(
+        [scales.lin_vel, scales.lin_vel, scales.ang_vel], jnp.float32)
+    obs = jnp.concatenate([
+        body_state[0:3], lin, ang, cmd_scaled,
+        (dof_q - STAND_DOF_POS) * scales.dof_pos,
+        dof_qd * scales.dof_vel, prev_action])
+    return jnp.clip(obs, -clip_obs, clip_obs)
+
+
 def actions_to_weights(action):
     """clip + rescale to 12 MPC weights, append 0 gravity placeholder
     (WeightPolicy.py:105-123, DesiredStateCommand.py:17-22)."""
@@ -64,12 +99,14 @@ def actions_to_weights(action):
     return jnp.concatenate([w, jnp.zeros(1, jnp.float32)])
 
 
-def policy_step(model: ActorCritic, policy_params, se: StateEstimate,
+def policy_step(model: ActorCritic, policy_params, body_state,
                 dof_q, dof_qd, commands, prev_action,
                 scales: PolicyScales = PolicyScales()):
-    """Deterministic inference -> (weights (13,), raw action (12,))."""
-    obs = compute_observations(se, dof_q, dof_qd, commands, prev_action,
-                               scales)
+    """Deterministic inference -> (weights (13,), raw action (12,)).
+
+    Uses training-layout observations (see module docstring)."""
+    obs = compute_observations_train_parity(body_state, dof_q, dof_qd,
+                                            commands, prev_action, scales)
     mean, _, _ = model.apply(policy_params, obs)
     return actions_to_weights(mean), mean
 
@@ -86,8 +123,8 @@ def policy_fsm_step(params: RobotParams, cfg: ControlConfig,
     """
     leg_data = leg_controller.update_data(params, dof_q, dof_qd)
     se = state_estimator.update(state.est, body_state)
-    weights, action = policy_step(model, policy_params, se, dof_q, dof_qd,
-                                  commands, prev_action)
+    weights, action = policy_step(model, policy_params, body_state, dof_q,
+                                  dof_qd, commands, prev_action)
     new_state, cmds, passive_iter, metrics = fsm_mod.fsm_step(
         params, cfg, state, se, leg_data, commands, weights, gait_id,
         control_mode, passive_iter, solve_gate)
@@ -137,8 +174,7 @@ class WeightPolicy:
 
         def one(ps, cs, pa):
             body = physics.root_state_vector(ps)
-            se = state_estimator.update(cs.est, body)
-            return policy_step(self.model, self.params, se, ps.q, ps.qd,
+            return policy_step(self.model, self.params, body, ps.q, ps.qd,
                                commands, pa)
 
         return jax.vmap(one)(pstate, cstate, prev_action)

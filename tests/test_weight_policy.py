@@ -87,6 +87,33 @@ class TestStepBatch:
         np.testing.assert_allclose(np.asarray(w2), np.asarray(w0), atol=1e-7)
 
 
+class TestTrainDeployObsParity:
+    def test_deployment_obs_equals_training_obs(self):
+        """The deployment obs builder must produce EXACTLY the training
+        env's observation for the same robot state (the reference ships a
+        train/deploy obs mismatch — aliengo.py:410-444 vs
+        WeightPolicy.py:125-145 — which this framework deliberately fixes;
+        see control/weight_policy.py module docstring)."""
+        from rl_mpc_locomotion_tpu.sim import env as env_mod, physics
+
+        params = robots.aliengo_params()
+        cfg = env_mod.EnvConfig()
+        state = env_mod.reset(params, cfg, jax.random.PRNGKey(3))
+        # non-trivial velocities/prev action
+        state = state._replace(
+            phys=state.phys._replace(
+                v=jnp.array([0.4, -0.1, 0.05]),
+                omega=jnp.array([0.1, 0.2, -0.3])),
+            actions=jnp.arange(12, dtype=jnp.float32) * 0.1)
+        want = env_mod.observations(params, cfg, state)
+        body = physics.root_state_vector(state.phys)
+        got = weight_policy.compute_observations_train_parity(
+            body, state.phys.q, state.phys.qd, state.commands,
+            state.actions)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-6)
+
+
 class TestPolicyStep:
     def test_policy_fsm_step_runs(self):
         params = robots.aliengo_params()
