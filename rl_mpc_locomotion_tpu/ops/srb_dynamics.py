@@ -132,6 +132,52 @@ def condense(a_exp, b_exp, horizon=10, compat_last_aqp_zero=True):
     return a_qp, b_qp
 
 
+def condense_blocks(a_exp, b_exp, horizon=10, compat_last_aqp_zero=True):
+    """Condensation kept in block form: (a_qp (h*13,13), blocks (h,h,13,12))
+    with blocks[i,j] = A^(i-j) B for j <= i else 0 — the lower-triangular
+    block structure of B_qp WITHOUT the dense (h*13, h*12) materialization.
+
+    NOT the production path: the idea was to skip condense()'s
+    (i,13,j,12)->(130,120) relayout, but the paired 4D einsum in
+    build_qp_cost_blocks measured 3.4x SLOWER end-to-end on a v5e (107 ms
+    vs 31 ms MPC period at batch 4096) — XLA lowers the small-dim
+    'iacr,ibcs->arbs' contraction far worse than the dense matmul.
+    Kept (with its equivalence test) as a documented dead end."""
+    powers_l = [a_exp]
+    anb_l = [b_exp]
+    for _ in range(horizon - 1):
+        powers_l.append(a_exp @ powers_l[-1])
+        anb_l.append(a_exp @ anb_l[-1])
+    if compat_last_aqp_zero:
+        powers_l[horizon - 1] = jnp.zeros_like(powers_l[horizon - 1])
+    a_qp = jnp.stack(powers_l).reshape(horizon * STATE_DIM, STATE_DIM)
+    anb = jnp.stack(anb_l)
+    i_idx = jnp.arange(horizon)[:, None]
+    j_idx = jnp.arange(horizon)[None, :]
+    delta = jnp.clip(i_idx - j_idx, 0, horizon - 1)
+    blocks = anb[delta]                                   # (h, h, 13, 12)
+    blocks = jnp.where((i_idx >= j_idx)[:, :, None, None], blocks, 0.0)
+    return a_qp, blocks
+
+
+def build_qp_cost_blocks(a_qp, blocks, x0, x_des, weights, alpha,
+                         horizon=10):
+    """build_qp_cost on the block form: the Hessian contraction
+    P[(a,r),(b,s)] = 2 sum_{i,c} blocks[i,a,c,r] w[c] blocks[i,b,c,s] runs
+    as one einsum whose (a,r,b,s) output reshapes to (120,120) for free
+    (contiguous), replacing condense()'s dense-B_qp transpose + matmul.
+    Numerically identical to build_qp_cost (same sums, MXU f32)."""
+    w = weights                                            # (13,)
+    wb = blocks * w[None, None, :, None]
+    p4 = jnp.einsum('iacr,ibcs->arbs', wb, blocks)
+    n = horizon * ACTION_DIM
+    p_mat = 2.0 * p4.reshape(n, n) + alpha * jnp.eye(n, dtype=blocks.dtype)
+    state_diff = (a_qp @ x0 - x_des).reshape(horizon, STATE_DIM)
+    wsd = state_diff * w[None, :]
+    q_vec = 2.0 * jnp.einsum('iacr,ic->ar', blocks, wsd).reshape(n)
+    return p_mat, q_vec
+
+
 def build_qp_cost(a_qp, b_qp, x0, x_des, weights, alpha, horizon=10):
     """Condensed dense QP cost: P = 2 B^T Q B + alpha I, q = 2 B^T Q (A x0 - xd).
 

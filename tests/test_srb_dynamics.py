@@ -137,6 +137,32 @@ class TestCondensation:
         np.testing.assert_allclose(np.asarray(p_mat), want_p, atol=2e-4)
         np.testing.assert_allclose(np.asarray(q_vec), want_q, atol=2e-3)
 
+    def test_block_cost_path_matches_dense(self):
+        """condense_blocks + build_qp_cost_blocks (the production path —
+        skips materializing dense B_qp) == condense + build_qp_cost."""
+        rpy, normal, mass, inertia, foot_pos = random_problem(6)
+        a = srb.build_a_mat(jnp.array(rpy), jnp.array(normal))
+        b = srb.build_b_mat(1.0 / mass, jnp.array(np.linalg.inv(inertia)),
+                            jnp.array(foot_pos))
+        a_exp, b_exp = srb.discretize_exact(a, b, 0.02)
+        rng = np.random.default_rng(7)
+        weights = jnp.array(rng.uniform(0.1, 10, 13).astype(np.float32))
+        x0 = jnp.array(rng.normal(size=13).astype(np.float32))
+        x_des = jnp.array(rng.normal(size=130).astype(np.float32))
+
+        a_qp, b_qp = srb.condense(a_exp, b_exp, horizon=10)
+        p_ref, q_ref = srb.build_qp_cost(a_qp, b_qp, x0, x_des, weights,
+                                         1e-5)
+        a_qp2, blocks = srb.condense_blocks(a_exp, b_exp, horizon=10)
+        p_blk, q_blk = srb.build_qp_cost_blocks(a_qp2, blocks, x0, x_des,
+                                                weights, 1e-5)
+        np.testing.assert_allclose(np.asarray(a_qp2), np.asarray(a_qp),
+                                   atol=0)
+        np.testing.assert_allclose(np.asarray(p_blk), np.asarray(p_ref),
+                                   rtol=1e-5, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(q_blk), np.asarray(q_ref),
+                                   rtol=1e-5, atol=1e-3)
+
 
 class TestDesiredStates:
     def test_layout(self):
