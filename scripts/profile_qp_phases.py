@@ -25,14 +25,26 @@ H = 10
 params = robots.aliengo_params()
 
 
-def timeit(fn, *args, iters=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
+def timeit(fn, chain0, iters=20):
+    """Chained slope timing (see profile_kernel_phases.timeit): ``fn`` must
+    be ONE jitted executable mapping the chained value to the next chained
+    value — on the axon relay, chains whose link spans multiple executables
+    report ~0. Per-call cost is the slope between a 5-call and a
+    (5+iters)-call run."""
+    def run(k):
+        c = chain0
+        for _ in range(k):
+            c = fn(c)
+        jax.block_until_ready(c)
+
+    run(2)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters * 1000.0
+    run(5)
+    t5 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    run(5 + iters)
+    tlong = time.perf_counter() - t0
+    return (tlong - t5) / iters * 1000.0
 
 
 def prep_one(rpy, foot_positions, mpc_table, weights, commands, com_z):
@@ -90,13 +102,24 @@ def prep_condense(*args):
 
 prep = jax.jit(jax.vmap(prep_one))
 res = {}
-res["prep_ab_ms"] = timeit(jax.jit(jax.vmap(prep_ab)),
-                           rpy, foot, table, w, cmds, com_z)
+
+
+def chain_prep(f):
+    # single-executable link: vmapped prep + next-chained-com_z derivation
+    # fused into one jit
+    @jax.jit
+    def step(cz):
+        out = jax.vmap(f)(rpy, foot, table, w, cmds, cz)
+        leaf = jax.tree.leaves(out)[0]
+        return 0.35 + 1e-12 * leaf.reshape(B, -1)[:, 0]
+    return step
+
+
+res["prep_ab_ms"] = timeit(chain_prep(prep_ab), com_z)
 print("prep_ab", res, flush=True)
-res["prep_condense_ms"] = timeit(jax.jit(jax.vmap(prep_condense)),
-                                 rpy, foot, table, w, cmds, com_z)
+res["prep_condense_ms"] = timeit(chain_prep(prep_condense), com_z)
 print("prep_condense", res, flush=True)
-res["prep_ms"] = timeit(prep, rpy, foot, table, w, cmds, com_z)
+res["prep_ms"] = timeit(chain_prep(prep_one), com_z)
 print("prep", res, flush=True)
 
 p, q, lb, ub, mask = jax.block_until_ready(prep(rpy, foot, table, w, cmds, com_z))
@@ -117,19 +140,31 @@ def make_kernel(iters, ruiz):
     return jax.jit(f)
 
 
-args = (p, q, c, lb, ub, mask, x0, z0, y0, rm)
-res["kernel_full_ms"] = timeit(make_kernel(50, 3), *args)
+def chain_kernel(iters, ruiz):
+    # single-executable link: fused solve + warm-start derivation in one jit
+    @jax.jit
+    def step(xc):
+        out = fused_solve_batch(p, q, c, lb, ub, mask, xc, z0, y0, rm,
+                                iters=iters, sigma=1e-6, relax=1.6,
+                                rho_base=0.1, rho_eq_scale=1e3,
+                                ruiz_iters=ruiz, deferred_rho=True)
+        return 1e-6 * out[0]
+    return step
+
+
+res["kernel_full_ms"] = timeit(chain_kernel(50, 3), x0)
 print("kfull", res, flush=True)
-res["kernel_i1_ms"] = timeit(make_kernel(1, 3), *args)
+res["kernel_i1_ms"] = timeit(chain_kernel(1, 3), x0)
 print("ki1", res, flush=True)
-res["kernel_r0_ms"] = timeit(make_kernel(1, 0), *args)
+res["kernel_r0_ms"] = timeit(chain_kernel(1, 0), x0)
 print("kr0", res, flush=True)
 
 
 @jax.jit
-def soa_only(p, q):
-    return (jnp.moveaxis(p, 0, -1) + 0.0, jnp.moveaxis(q, 0, -1))
+def soa_only(x):
+    ps = jnp.moveaxis(p + x[:, :, None] * 1e-20, 0, -1)
+    return 1e-12 * ps[0, 0, :][:, None] * jnp.ones((1, 120), jnp.float32)
 
 
-res["soa_ms"] = timeit(soa_only, p, q)
+res["soa_ms"] = timeit(soa_only, x0)
 print(json.dumps({k: round(v, 2) for k, v in res.items()}))
