@@ -73,8 +73,13 @@ def _admm_math(iters: int, sigma: float, relax: float, kinv_apply,
     return jax.lax.fori_loop(0, iters, body, (x, z, y))
 
 
+_PANEL_OVERRIDE = None  # experiment hook (scripts/attribution4.py)
+
+
 def _panel_width(n: int) -> int:
     """Largest power-of-two panel width <= 8 dividing n (8 = f32 sublane)."""
+    if _PANEL_OVERRIDE and n % _PANEL_OVERRIDE == 0:
+        return _PANEL_OVERRIDE
     for w in (8, 4, 2, 1):
         if n % w == 0:
             return w

@@ -272,7 +272,7 @@ def fused_solve_batch(p_mat, q_vec, c_blocks, lb, ub, mask, x, z, y,
             dimension_semantics=("parallel",),
             # kbuf (N*N*TR*4 = 7.4 MB) + one full-size elementwise
             # temporary (GJ trailing update / Ruiz scale) + IO blocks
-            vmem_limit_bytes=48 * 1024 * 1024),
+            vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )(p_soa, q_soa, c_soa, l_soa, u_soa, rm_soa, m_soa, x_soa, z_soa, y_soa)
 

@@ -15,3 +15,11 @@ os.environ["JAX_PLATFORM_NAME"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# persistent compile cache: the sharded control-step/PPO compiles dominate
+# suite wall time; cache hits cut repeat runs from ~15 min to a few minutes
+_CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                      ".jax_cache_cpu")
+os.makedirs(_CACHE, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
