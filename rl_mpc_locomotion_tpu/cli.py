@@ -76,7 +76,11 @@ def cmd_play(args):
     cstate = jax.vmap(lambda _: runner.init_state(params, cfg))(jnp.arange(n))
 
     if args.mode == "Policy":
-        from .control.weight_policy import WeightPolicy
+        # policy inference runs INSIDE the jitted tick (policy_fsm_step):
+        # one compiled program per tick, ~100 Hz-class like the reference's
+        # deployment (docs/2-development_log.md:127). A host-side eager
+        # vmap here would re-trace the MLP every tick (measured ~4 s/tick).
+        from .control.weight_policy import WeightPolicy, policy_fsm_step
         policy = WeightPolicy(checkpoint=args.checkpoint)
     else:
         policy = None
@@ -84,8 +88,8 @@ def cmd_play(args):
     passive_iters = jnp.zeros(n, jnp.int32)
 
     @jax.jit
-    def tick(pstate, cstate, passive_iters, weights, control_mode, commands,
-             gait_id):
+    def tick(pstate, cstate, passive_iters, prev_action, control_mode,
+             commands, gait_id):
         # scalar QP gate: when no robot is in LOCOMOTION, lax.cond skips the
         # MPC solve for the whole fleet (parked-in-recovery fleets previously
         # paid the dominant QP cost for nothing). Robots entering locomotion
@@ -100,23 +104,26 @@ def cmd_play(args):
             % cfg.iterations_between_mpc == 0)
         any_loco = jnp.logical_and(any_loco, any_want)
 
-        def one(ps, cs, pi, w):
+        def one(ps, cs, pi, pa):
             body = physics.root_state_vector(ps)
-            if args.mode in ("Fsm", "Policy"):
+            if args.mode == "Policy":
+                cs, tau, pa, pi, m = policy_fsm_step(
+                    params, cfg, policy.model, policy.params, cs, pa,
+                    ps.q, ps.qd, body, commands, gait_id, control_mode,
+                    pi, solve_gate=any_loco)
+            elif args.mode == "Fsm":
                 cs, tau, pi, m = runner.fsm_step(
                     params, cfg, cs, pi, ps.q, ps.qd, body, commands,
-                    mpc_weights=w, gait_id=gait_id,
-                    control_mode=control_mode, solve_gate=any_loco)
+                    gait_id=gait_id, control_mode=control_mode,
+                    solve_gate=any_loco)
             else:
                 cs, tau, m = runner.min_step(
                     params, cfg, cs, ps.q, ps.qd, body, commands,
-                    mpc_weights=w, gait_id=gait_id, solve_gate=any_want)
+                    gait_id=gait_id, solve_gate=any_want)
             ps, _, _ = physics.step(params, pcfg, ter, ps, tau)
-            return ps, cs, pi, m
-        if weights is None:
-            weights = jnp.tile(params.mpc_weights, (n, 1))
+            return ps, cs, pi, pa, m
         return jax.vmap(one, in_axes=(0, 0, 0, 0))(pstate, cstate,
-                                                   passive_iters, weights)
+                                                   passive_iters, prev_action)
 
     ticks = int(args.seconds / cfg.dt)
     telemetry = None
@@ -157,12 +164,8 @@ def cmd_play(args):
             commands = jnp.asarray(cmd)
             gait_arr = jnp.int32(gid)
             control_mode = jnp.int32(mode)
-        weights = None
-        if policy is not None:
-            weights, prev_action = policy.step_batch(pstate, cstate,
-                                                     commands, prev_action)
-        pstate, cstate, passive_iters, metrics = tick(
-            pstate, cstate, passive_iters, weights, control_mode,
+        pstate, cstate, passive_iters, prev_action, metrics = tick(
+            pstate, cstate, passive_iters, prev_action, control_mode,
             commands, gait_arr)
         if args.mode in ("Fsm", "Policy"):
             unsafe = bool(np.any(np.asarray(
@@ -197,9 +200,11 @@ def cmd_play(args):
         telemetry.close()
         print(f"[play] telemetry written to {args.telemetry}")
     wall = time.time() - t0
+    # speed factor: simulated seconds per wall second (>1 = faster than RT)
+    rt = ticks * cfg.dt / wall
     print(f"[play] {ticks} ticks x {n} envs in {wall:.1f}s "
-          f"({ticks * n / wall:.0f} robot-ticks/s, "
-          f"{'real-time' if ticks * cfg.dt <= wall else 'faster than real-time'})")
+          f"({ticks * n / wall:.0f} robot-ticks/s, {rt:.2f}x real-time — "
+          f"{'faster' if rt >= 1.0 else 'slower'} than real-time)")
 
 
 def yaml_scalar(text: str):

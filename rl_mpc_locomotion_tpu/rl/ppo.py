@@ -123,13 +123,32 @@ def rollout(model: ActorCritic, params, env_step: Callable, env_state,
 
 def ppo_update(model: ActorCritic, cfg: PPOConfig, train: TrainState,
                traj: Transition, last_value,
-               grad_reduce: Callable = lambda g: g):
+               grad_reduce: Callable = lambda g: g,
+               axis_name: str | None = None):
     """One PPO update over a rollout. grad_reduce hooks in the cross-device
-    psum for data-parallel training (parallel/)."""
+    psum for data-parallel training (parallel/).
+
+    ``axis_name``: when running inside shard_map over a device mesh, the
+    mesh axis the env batch is split over. Every *statistic that feeds back
+    into parameter updates* must then be reduced over that axis, or shards
+    silently diverge while the caller declares the TrainState replicated:
+    - the adaptive-lr KL (rsl_rl computes it on the global minibatch; a
+      shard-local KL gives each device a different lr after the first
+      minibatch with nonzero KL, breaking replication undetected),
+    - the advantage mean/std normalization (rsl_rl normalizes globally;
+      shard-local normalization is replication-safe because grads are
+      pmean'd, but changes the semantics).
+    grad_reduce stays a separate hook because optimizers may want psum vs
+    pmean; axis_name covers the scalar statistics.
+    """
+    reduce_mean = ((lambda x: jax.lax.pmean(x, axis_name))
+                   if axis_name else (lambda x: x))
     advantages, returns = compute_gae(cfg, traj.reward, traj.value, traj.done,
                                       last_value)
-    adv_mean = jnp.mean(advantages)
-    adv_std = jnp.std(advantages) + 1e-8
+    # global moments: E[x] and E[x^2] are mean-reducible across shards
+    adv_mean = reduce_mean(jnp.mean(advantages))
+    adv_sq = reduce_mean(jnp.mean(jnp.square(advantages)))
+    adv_std = jnp.sqrt(jnp.maximum(adv_sq - jnp.square(adv_mean), 0.0)) + 1e-8
     norm_adv = (advantages - adv_mean) / adv_std
 
     t, b = traj.reward.shape
@@ -180,6 +199,8 @@ def ppo_update(model: ActorCritic, cfg: PPOConfig, train: TrainState,
             (loss, (pl, vl, kl)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(train.params, batch, adv, ret)
             grads = grad_reduce(grads)
+            # the lr decision below must be identical on every shard
+            kl = reduce_mean(kl)
             if cfg.schedule == "adaptive":
                 lr = jnp.where(kl > cfg.desired_kl * 2.0, train.lr / 1.5,
                                jnp.where(kl < cfg.desired_kl / 2.0,
@@ -213,7 +234,11 @@ def ppo_update(model: ActorCritic, cfg: PPOConfig, train: TrainState,
         epoch_body, (train, train.rng), None, length=cfg.num_epochs)
     train = train._replace(rng=rng)
     loss, pl, vl, kl = jax.tree.map(jnp.mean, stats)
-    metrics = {"loss": loss, "policy_loss": pl, "value_loss": vl, "kl": kl,
-               "lr": train.lr, "mean_reward": jnp.mean(traj.reward),
-               "mean_value": jnp.mean(traj.value)}
+    # losses/rewards are shard-local; the caller declares metrics replicated,
+    # so reduce them here (kl is already pmean'd inside mb_body)
+    metrics = {"loss": reduce_mean(loss), "policy_loss": reduce_mean(pl),
+               "value_loss": reduce_mean(vl), "kl": kl,
+               "lr": train.lr,
+               "mean_reward": reduce_mean(jnp.mean(traj.reward)),
+               "mean_value": reduce_mean(jnp.mean(traj.value))}
     return train, metrics

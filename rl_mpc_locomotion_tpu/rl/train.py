@@ -79,10 +79,13 @@ def make_train_step(params: RobotParams, cfg: TrainConfig,
 
         if mesh is not None:
             grad_reduce = lambda g: jax.lax.pmean(g, ENV_AXIS)
+            axis_name = ENV_AXIS
         else:
             grad_reduce = lambda g: g
+            axis_name = None
         train_state, metrics = ppo.ppo_update(model, cfg.ppo, train_state,
-                                              traj, last_value, grad_reduce)
+                                              traj, last_value, grad_reduce,
+                                              axis_name=axis_name)
         return train_state, env_state, obs, tick + cfg.ppo.num_steps, metrics
 
     if mesh is None:

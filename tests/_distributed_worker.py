@@ -3,10 +3,16 @@
 Launched twice (process_id 0/1) with 4 local CPU devices each; brings up
 jax.distributed, builds the global 8-device env mesh across both processes,
 and runs ONE sharded PPO train step (rollout + update with cross-process
-pmean gradient reduction). Prints ``RESULT <pid> <mean_reward> <psum>`` for
-the parent to compare across processes.
+pmean gradient reduction). The step uses the full rsl_rl minibatch schedule
+(5 epochs x 4 minibatches) so the adaptive-KL lr path executes with
+*different data per shard* — the regression this test locks down is
+shard-local KL driving per-device learning rates (ppo.ppo_update
+axis_name). Prints ``RESULT <pid> <mean_reward> <psum>`` and dumps the full
+post-update params to ``<outdir>/params_<pid>.npz`` so the parent can
+assert max-abs cross-process parameter difference == 0 (a sum fingerprint
+can hide divergence).
 
-Run directly:  python tests/_distributed_worker.py <pid> <port>
+Run directly:  python tests/_distributed_worker.py <pid> <port> <outdir>
 """
 import sys
 
@@ -14,6 +20,7 @@ import sys
 def main():
     pid = int(sys.argv[1])
     port = int(sys.argv[2])
+    outdir = sys.argv[3]
 
     import jax
     # NOTE: with jax.distributed, --xla_force_host_platform_device_count is
@@ -54,12 +61,16 @@ def main():
     psum_val = float(np.asarray(psum.addressable_data(0))[0])
     assert psum_val == 28.0, psum_val
 
-    # one real sharded train step: 8 envs, 1 per device, 2 rollout steps
+    # one real sharded train step: 8 envs, 1 per device, 8 rollout steps,
+    # full rsl_rl schedule (5 epochs x 4 minibatches) so each shard's
+    # minibatches hold different data and the adaptive-KL lr path is
+    # genuinely exercised (1 epoch x 1 minibatch has KL(old||old) == 0 on
+    # every shard, which cannot catch shard-local-lr divergence)
     qp = QPConfig(iters=8, iters2=0, adaptive_rho=False, ruiz_iters=1,
                   polish=False)
     cfg = train_mod.TrainConfig(
         num_envs=8,
-        ppo=ppo.PPOConfig(num_steps=2, num_epochs=1, num_minibatches=1),
+        ppo=ppo.PPOConfig(num_steps=8, num_epochs=5, num_minibatches=4),
         env=env_mod.EnvConfig(control=ControlConfig(qp=qp)))
     params = robots.aliengo_params()
     ter = terrain.flat()
@@ -81,9 +92,25 @@ def main():
         train_state, env_state, obs, tick)
     mr = float(np.asarray(jax.device_get(metrics["mean_reward"])))
     assert np.isfinite(mr), mr
-    # replicated params must be identical across processes: fingerprint them
+    # after 20 minibatch updates the lr must have actually moved off its
+    # init (else the adaptive path was not exercised and the test is vacuous)
+    lr = float(np.asarray(jax.device_get(train_state.lr)))
+    assert lr != cfg.ppo.learning_rate, lr
+    # replicated params must be identical across processes: dump them in
+    # full for the parent's max-abs comparison, plus a summary line
     leaves = jax.tree.leaves(train_state.params)
-    fp = float(sum(np.asarray(jax.device_get(l)).sum() for l in leaves))
+    arrs = {f"p{i}": np.asarray(jax.device_get(l))
+            for i, l in enumerate(leaves)}
+    # the adaptive-lr input itself: metrics['kl'] is the mean over the 20
+    # minibatch updates of the KL that drove each lr decision. Post-fix it
+    # is pmean'd (identical across processes to the bit); pre-fix each
+    # process reports its own shard-local value. Params can coincide even
+    # with divergent KLs (the x1.5 buckets quantize), so this is the
+    # sensitive invariant and the params check is the consequence check.
+    kl = float(np.asarray(jax.device_get(metrics["kl"])))
+    import os
+    np.savez(os.path.join(outdir, f"params_{pid}.npz"), lr=lr, kl=kl, **arrs)
+    fp = float(sum(a.sum() for a in arrs.values()))
     print(f"RESULT {pid} {mr:.6f} {fp:.6f}", flush=True)
 
 

@@ -26,7 +26,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_train_step():
+def test_two_process_train_step(tmp_path):
     port = _free_port()
     env = dict(os.environ)
     # the worker configures devices via jax_num_cpu_devices; a stale
@@ -37,7 +37,8 @@ def test_two_process_train_step():
     env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
 
     procs = [
-        subprocess.Popen([sys.executable, _WORKER, str(pid), str(port)],
+        subprocess.Popen([sys.executable, _WORKER, str(pid), str(port),
+                          str(tmp_path)],
                          stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                          text=True, env=env, cwd=_REPO)
         for pid in (0, 1)
@@ -63,3 +64,21 @@ def test_two_process_train_step():
     assert set(results) == {0, 1}
     # both processes saw the same global step: same reward, same params
     assert results[0] == pytest.approx(results[1], rel=1e-6)
+
+    # the strong check: max-abs parameter difference across processes must
+    # be exactly 0 after 5 epochs x 4 minibatches of adaptive-lr updates on
+    # shard-distinct data (a sum fingerprint can hide sign-balanced drift;
+    # shard-local KL -> per-device lr divergence is the bug this catches)
+    import numpy as np
+    p0 = np.load(tmp_path / "params_0.npz")
+    p1 = np.load(tmp_path / "params_1.npz")
+    assert set(p0.files) == set(p1.files)
+    assert float(p0["lr"]) == float(p1["lr"])
+    # the KL that drives the adaptive lr must be the globally-reduced value
+    # on every process (shard-local KL = the round-2 replication hazard;
+    # params alone can mask it because the lr buckets quantize)
+    assert float(p0["kl"]) == float(p1["kl"])
+    for k in p0.files:
+        diff = float(np.max(np.abs(p0[k] - p1[k]))) if p0[k].ndim else abs(
+            float(p0[k]) - float(p1[k]))
+        assert diff == 0.0, f"param {k} diverged across processes: {diff}"
