@@ -73,20 +73,18 @@ def _admm_math(iters: int, sigma: float, relax: float, kinv_apply,
     return jax.lax.fori_loop(0, iters, body, (x, z, y))
 
 
-_PANEL_OVERRIDE = None  # experiment hook (scripts/attribution4.py)
-
-
 def _panel_width(n: int) -> int:
-    """Largest power-of-two panel width <= 8 dividing n (8 = f32 sublane)."""
-    if _PANEL_OVERRIDE and n % _PANEL_OVERRIDE == 0:
-        return _PANEL_OVERRIDE
+    """Default panel width: largest power-of-two <= 8 dividing n (8 = f32
+    sublane). Wider panels trade fewer full-buffer passes for bigger slab
+    temporaries; 8 measured fastest at n=120 (scripts/profile.py panel
+    sweep: 16/24/40 were 1.1-1.6x slower)."""
     for w in (8, 4, 2, 1):
         if n % w == 0:
             return w
     return 1
 
 
-def gj_invert_inplace(kbuf, num_panels=None):
+def gj_invert_inplace(kbuf, num_panels=None, panel_width=None):
     """Invert the (n, n, tr) SPD tile in ``kbuf`` in place by blocked
     Gauss-Jordan.
 
@@ -109,11 +107,15 @@ def gj_invert_inplace(kbuf, num_panels=None):
     decoupled (zero cross terms), e.g. swing-masked GRF variables that were
     permuted to the tail (fused_qp kernel). The trailing diagonal is left
     untouched (caller overwrites it with its closed-form inverse).
+
+    ``panel_width`` (static int, must divide n) overrides the default
+    power-of-two-<=8 width; the profiling harness uses it to sweep widths.
     """
     n = kbuf.shape[0]
     i_row = jax.lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)   # i index
     j_col = jax.lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)   # j index
-    np_w = _panel_width(n)
+    np_w = panel_width if panel_width is not None else _panel_width(n)
+    assert n % np_w == 0, (n, np_w)
 
     def panel_step(p, _):
         c0 = p * np_w

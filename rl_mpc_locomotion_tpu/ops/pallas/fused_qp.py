@@ -270,8 +270,15 @@ def fused_solve_batch(p_mat, q_vec, c_blocks, lb, ub, mask, x, z, y,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
-            # kbuf (N*N*TR*4 = 7.4 MB) + one full-size elementwise
-            # temporary (GJ trailing update / Ruiz scale) + IO blocks
+            # Working set: kbuf (N*N*TR*4 = 7.4 MB) + the GJ trailing-update
+            # / Ruiz full-buffer temporaries (another ~7.4 MB each) + IO
+            # blocks. 48 MB was enough for the bare ADMM kernel, but the
+            # fused prep (Ruiz scaling + K assembly + deferred-rho extras)
+            # keeps more live full-size temporaries, and Mosaic rejects the
+            # schedule at 48 MB. 96 MB assumes a large-VMEM part (validated
+            # on v5e, which accepts it); on 16 MB-class cores shrink TR
+            # (halving TR halves every full-size buffer) instead of raising
+            # this limit.
             vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )(p_soa, q_soa, c_soa, l_soa, u_soa, rm_soa, m_soa, x_soa, z_soa, y_soa)
