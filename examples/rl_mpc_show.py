@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rl_mpc_locomotion_tpu.control import runner
+from rl_mpc_locomotion_tpu.control import runner, weight_policy
 from rl_mpc_locomotion_tpu.control.types import ControlConfig
 from rl_mpc_locomotion_tpu.control.weight_policy import WeightPolicy
 from rl_mpc_locomotion_tpu.models import robots
@@ -38,7 +38,17 @@ def main(checkpoint=None, seconds: float = 4.0):
     passive_iters = jnp.zeros(2, jnp.int32)
 
     @jax.jit
-    def tick(pstate, cstate, passive_iters, weights):
+    def tick(pstate, cstate, passive_iters, prev_action):
+        # policy inference for lane 1 happens IN the jitted tick (the
+        # reference runs its policy at ~100 Hz; an eager per-tick vmap
+        # re-traces the MLP every call and is ~1000x slower)
+        body1 = physics.root_state_vector(
+            jax.tree.map(lambda x: x[1], pstate))
+        w1, a1 = weight_policy.policy_step(
+            policy.model, policy.params, body1, pstate.q[1], pstate.qd[1],
+            commands, prev_action)
+        weights = jnp.stack([jnp.asarray(params.mpc_weights), w1])
+
         def one(ps, cs, pi, w):
             body = physics.root_state_vector(ps)
             cs, tau, pi, m = runner.fsm_step(params, cfg, cs, pi, ps.q,
@@ -46,15 +56,13 @@ def main(checkpoint=None, seconds: float = 4.0):
                                              mpc_weights=w, control_mode=1)
             ps, _, _ = physics.step(params, pcfg, ter, ps, tau)
             return ps, cs, pi
-        return jax.vmap(one)(pstate, cstate, passive_iters, weights)
+        ps, cs, pi = jax.vmap(one)(pstate, cstate, passive_iters, weights)
+        return ps, cs, pi, a1
 
-    prev_action = jnp.zeros((2, 12), jnp.float32)
+    prev_action = jnp.zeros(12, jnp.float32)
     for t in range(int(seconds * 100)):
-        policy_w, prev_action = policy.step_batch(pstate, cstate, commands,
-                                                  prev_action)  # (2,13)
-        weights = jnp.stack([jnp.asarray(params.mpc_weights), policy_w[1]])
-        pstate, cstate, passive_iters = tick(pstate, cstate, passive_iters,
-                                             weights)
+        pstate, cstate, passive_iters, prev_action = tick(
+            pstate, cstate, passive_iters, prev_action)
         if t % 100 == 0:
             pos = np.asarray(pstate.pos)
             print(f"t={t/100:4.1f}s  default[x={pos[0,0]:+.2f} "

@@ -277,6 +277,44 @@ def cmd_bench(args):
     print(json.dumps(bench(batch=args.batch)))
 
 
+def cmd_eval(args):
+    """A/B eval: trained weight policy vs default MPC weights
+    (test/RL_MPC_show.py:73-84 made quantitative; rl/evaluate.py)."""
+    import jax as _jax
+
+    from .control.types import ControlConfig
+    from .control.weight_policy import WeightPolicy
+    from .models import robots
+    from .ops.qp import production_qp_config
+    from .rl import evaluate as eval_mod
+    from .sim.env import EnvConfig
+
+    params = {"aliengo": robots.aliengo_params, "go1": robots.go1_params,
+              "a1": robots.a1_params}[args.task.lower()]()
+    qp = production_qp_config()._replace(
+        use_pallas=_jax.default_backend() == "tpu")
+    dr = None
+    if args.dr:
+        from .sim.randomize import DomainRandomization
+        dr = DomainRandomization()
+    cfg = EnvConfig(control=ControlConfig(qp=qp), dr=dr)
+    ter = _make_terrain(args.terrain)
+    policy = WeightPolicy(checkpoint=args.checkpoint)
+    sweep = None
+    if args.sweep:
+        sweep = [(0.5, 0.0, 0.0), (1.0, 0.0, 0.0), (-0.5, 0.0, 0.0),
+                 (0.0, 0.5, 0.0), (0.5, 0.0, 0.5), (1.5, 0.0, 0.0)]
+    res = eval_mod.ab_compare(params, cfg, ter, policy.params, policy.model,
+                              num_envs=args.num_envs,
+                              num_steps=int(args.seconds / cfg.control.dt),
+                              seed=args.seed, command_sweep=sweep)
+    print(json.dumps(res, indent=1))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(res, f, indent=1)
+        print(f"[eval] written to {args.out}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="rl_mpc_locomotion_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -331,6 +369,22 @@ def main(argv=None):
     pb = sub.add_parser("bench", help="MPC solves/s benchmark")
     pb.add_argument("--batch", type=int, default=4096)
     pb.set_defaults(fn=cmd_bench)
+
+    pe = sub.add_parser("eval", help="A/B: trained policy vs default weights")
+    pe.add_argument("--task", default="Aliengo")
+    pe.add_argument("--checkpoint", default=None,
+                    help="checkpoint path or run dir (default: random init)")
+    pe.add_argument("--num-envs", type=int, default=64)
+    pe.add_argument("--seconds", type=float, default=5.0)
+    pe.add_argument("--seed", type=int, default=0)
+    pe.add_argument("--terrain", default="flat", choices=TERRAINS)
+    pe.add_argument("--dr", action="store_true",
+                    help="evaluate under domain randomization")
+    pe.add_argument("--sweep", action="store_true",
+                    help="also run a fixed command sweep")
+    pe.add_argument("--out", default=None, metavar="JSON",
+                    help="write results here")
+    pe.set_defaults(fn=cmd_eval)
 
     args = p.parse_args(argv)
     args.fn(args)

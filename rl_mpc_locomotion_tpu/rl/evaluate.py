@@ -1,0 +1,147 @@
+"""A/B evaluation harness: trained weight policy vs default MPC weights.
+
+The point of the reference's RL layer is that *learned* MPC cost weights
+outperform the hand-tuned defaults (test/RL_MPC_show.py:33,73-84 runs the
+two controllers side by side; docs/2-development_log.md:116 reports the
+trained reward). This module makes that claim measurable: both arms run the
+same training env (same reward, same command distribution, same DR draws,
+same initial states via a shared seed) and report mean tracking reward and
+survival.
+
+Arms:
+  policy   actions = deterministic policy mean -> rescale_actions
+  default  weights = params.mpc_weights verbatim (bypasses the action box,
+           which cannot represent them — see sim/env.step)
+
+Used by ``cli.py eval`` and tests/test_eval_ab.py (CI gate: trained >=
+default on the committed checkpoint).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models.actor_critic import ActorCritic
+from ..models.robots import RobotParams
+from ..sim import env as env_mod
+from ..sim import terrain as terrain_mod
+
+
+def evaluate(params: RobotParams, cfg, ter: terrain_mod.Terrain,
+             policy_params=None, model: Optional[ActorCritic] = None,
+             num_envs: int = 64, num_steps: int = 500, seed: int = 0,
+             commands: Optional[jnp.ndarray] = None) -> dict:
+    """Run one arm for ``num_steps`` ticks over ``num_envs`` envs.
+
+    policy_params None -> default-weight arm. ``commands`` (3,) pins every
+    env to one command (a sweep point); None keeps the env's random
+    command draws (the training distribution).
+
+    Returns python floats: reward_per_step, survival_rate (fraction of
+    envs that never fell; auto-resets after a fall keep counting), falls,
+    lin_vel_err (mean |v_xy - cmd_xy|), episodes.
+    """
+    if model is None:
+        model = ActorCritic(num_actions=env_mod.NUM_ACTIONS)
+    ipm = cfg.control.iterations_between_mpc
+    rng = jax.random.PRNGKey(seed)
+    keys = jax.random.split(rng, num_envs)
+
+    default_w = jnp.asarray(params.mpc_weights, jnp.float32)
+
+    def reset_batch():
+        state = jax.vmap(lambda k: env_mod.reset(params, cfg, k))(keys)
+        if commands is not None:
+            cmd = jnp.broadcast_to(jnp.asarray(commands, jnp.float32),
+                                   (num_envs, 3))
+            state = state._replace(commands=cmd)
+        obs = jax.vmap(lambda s: env_mod.observations(params, cfg, s))(state)
+        return state, obs
+
+    def step_batch(state, obs, t):
+        gate = ((t + 1) % ipm) == 0
+        if policy_params is not None:
+            mean, _, _ = model.apply(policy_params, obs)
+            return jax.vmap(
+                lambda s, a: env_mod.step(params, cfg, ter, s, a,
+                                          solve_gate=gate))(state, mean)
+        action = jnp.zeros((num_envs, env_mod.NUM_ACTIONS), jnp.float32)
+        wb = jnp.broadcast_to(default_w, (num_envs, 13))
+        return jax.vmap(
+            lambda s, a, w: env_mod.step(params, cfg, ter, s, a,
+                                         solve_gate=gate, weights=w))(
+            state, action, wb)
+
+    @jax.jit
+    def run():
+        state, obs = reset_batch()
+
+        def body(carry, t):
+            state, obs, fell = carry
+            state, obs, rew, done, info = step_batch(state, obs, t)
+            fell = fell | done
+            # command pinning must survive auto-resets (fresh resets draw
+            # random commands)
+            if commands is not None:
+                cmd = jnp.broadcast_to(jnp.asarray(commands, jnp.float32),
+                                       (num_envs, 3))
+                state = state._replace(commands=cmd)
+            r_bw = jax.vmap(lambda q: _quat_rot(q))(state.phys.quat)
+            v_b = jnp.einsum("bij,bj->bi", r_bw, state.phys.v)
+            verr = jnp.linalg.norm(v_b[:, :2] - state.commands[:, :2],
+                                   axis=-1)
+            return (state, obs, fell), (rew, done, verr)
+
+        fell0 = jnp.zeros(num_envs, bool)
+        (state, obs, fell), (rews, dones, verrs) = jax.lax.scan(
+            body, (state, obs, fell0), jnp.arange(num_steps))
+        return {
+            "reward_per_step": jnp.mean(rews),
+            "falls": jnp.sum(dones),
+            "survival_rate": 1.0 - jnp.mean(fell.astype(jnp.float32)),
+            "lin_vel_err": jnp.mean(verrs),
+        }
+
+    out = {k: float(v) for k, v in run().items()}
+    out["num_envs"] = num_envs
+    out["num_steps"] = num_steps
+    return out
+
+
+def _quat_rot(quat):
+    from ..ops import rotations as rot
+    return rot.quat_to_rot(quat)
+
+
+def ab_compare(params: RobotParams, cfg, ter, policy_params,
+               model: Optional[ActorCritic] = None, num_envs: int = 64,
+               num_steps: int = 500, seed: int = 0,
+               command_sweep=None) -> dict:
+    """Both arms under identical conditions; optional command sweep.
+
+    command_sweep: iterable of (3,) commands; None = one run on the
+    training command distribution. Returns {"policy": ..., "default": ...,
+    "sweep": [...], "policy_beats_default": bool}.
+    """
+    res = {
+        "policy": evaluate(params, cfg, ter, policy_params, model,
+                           num_envs, num_steps, seed),
+        "default": evaluate(params, cfg, ter, None, model,
+                            num_envs, num_steps, seed),
+    }
+    if command_sweep is not None:
+        rows = []
+        for cmd in command_sweep:
+            rows.append({
+                "command": [float(c) for c in cmd],
+                "policy": evaluate(params, cfg, ter, policy_params, model,
+                                   num_envs, num_steps, seed, commands=cmd),
+                "default": evaluate(params, cfg, ter, None, model,
+                                    num_envs, num_steps, seed, commands=cmd),
+            })
+        res["sweep"] = rows
+    res["policy_beats_default"] = (
+        res["policy"]["reward_per_step"] >= res["default"]["reward_per_step"])
+    return res

@@ -178,13 +178,21 @@ def _reward_and_reset(params: RobotParams, cfg: EnvConfig, state: EnvState,
 
 def step(params: RobotParams, cfg: EnvConfig, ter: terrain_mod.Terrain,
          state: EnvState, action,
-         solve_gate: Optional[jnp.ndarray] = None):
+         solve_gate: Optional[jnp.ndarray] = None,
+         weights: Optional[jnp.ndarray] = None):
     """One policy step = one controller tick + physics (vec_task.step
     :298-339 with bridge_MPC_to_RL, aliengo.py:227-263).
 
+    ``weights``: optional raw (13,) MPC weights bypassing the action
+    rescale — the A/B eval path (RL_MPC_show.py:73-84) drives one arm with
+    ``params.mpc_weights`` directly, which the action box cannot represent
+    (e.g. Aliengo's default yaw/roll/pitch weights of 0 sit below the
+    [-1,1]->[1,9]/[30,70] rescale floor).
+
     Returns (new_state, obs, reward, done, info). Auto-reset on done.
     """
-    weights = rescale_actions(action)
+    if weights is None:
+        weights = rescale_actions(action)
     dof_states = state.phys.q, state.phys.qd
     body_state = physics.root_state_vector(state.phys)
 

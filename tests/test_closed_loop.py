@@ -65,6 +65,89 @@ CASES = [
 ]
 
 
+@functools.cache
+def _rollout_nonflat_fn():
+    """Non-flat rollout: flat_ground=False runs the least-squares
+    plane-fit ground estimator IN the loop (slope-aware MPC gravity,
+    StateEstimator.py:120-144 / mpc_osqp.cc:299-322) — the reference's
+    main integration demo path (test/MPC_terrain_show.py:26-37). Terrain
+    is a traced pytree arg so slope and stairs share one compile."""
+    cfg = ControlConfig(flat_ground=False)
+
+    @jax.jit
+    def rollout(params, ter, commands, start_x, init_h):
+        pstate = physics.init_state(params, Q0, init_h)
+        pstate = pstate._replace(pos=pstate.pos.at[0].set(start_x))
+        cstate = runner.init_state(params, cfg)
+
+        def tick(carry, _):
+            ps, cs = carry
+            body = physics.root_state_vector(ps)
+            cs, tau, m = runner.min_step(params, cfg, cs, ps.q, ps.qd,
+                                         body, commands)
+            ps, _, _ = physics.step(params, PCFG, ter, ps, tau)
+            ground = terrain.sample_height(ter, ps.pos[:2])
+            rpy_mag = jnp.max(jnp.abs(rot.quat_to_rpy(ps.quat)[:2]))
+            return (ps, cs), (ps.pos[2] - ground, rpy_mag, m["com_z"],
+                              cs.est.ground_normal_yaw[0])
+
+        (pstate, _), (clearance, rpys, com_z_est, normal_x) = jax.lax.scan(
+            tick, (pstate, cstate), None, length=TICKS)
+        return pstate.pos, clearance, rpys, com_z_est, normal_x
+
+    return rollout
+
+
+NONFLAT_CASES = [
+    # (terrain_fn, vx, start_x, min_dx): spawn just before the feature at
+    # x=2.0 so the robot actually climbs it during the rollout
+    ("slope", terrain.slope_platform, 0.5, 1.5, 1.0),
+    ("stairs", terrain.stairs, 0.4, 1.5, 0.8),
+]
+
+
+@pytest.mark.parametrize("name,ter_fn,vx,start_x,min_dx", NONFLAT_CASES,
+                         ids=[c[0] for c in NONFLAT_CASES])
+def test_walks_nonflat_with_ground_estimator(name, ter_fn, vx, start_x,
+                                             min_dx):
+    params = robots.aliengo_params()
+    ter = ter_fn()
+    commands = jnp.array([vx, 0.0, 0.0], jnp.float32)
+    init_h = params.body_height + 0.03
+    pos, clearance, rpys, com_z_est, normal_x = jax.block_until_ready(
+        _rollout_nonflat_fn()(params, ter, commands,
+                              jnp.float32(start_x), init_h))
+    pos = np.asarray(pos)
+    clearance = np.asarray(clearance)
+    rpys = np.asarray(rpys)
+    com_z_est = np.asarray(com_z_est)
+    normal_x = np.asarray(normal_x)
+
+    h = float(params.body_height)
+    assert np.all(np.isfinite(clearance)) and np.all(np.isfinite(pos))
+    assert np.all(np.isfinite(com_z_est))
+    # upright relative to the LOCAL ground the whole climb
+    assert clearance.min() > 0.6 * h, (
+        f"{name} fell: min clearance {clearance.min():.3f}")
+    assert clearance.max() < 1.4 * h + 0.05, (
+        f"{name} flew: max clearance {clearance.max():.3f}")
+    assert rpys.max() < 0.45, (
+        f"{name} tipped: max |roll,pitch| {rpys.max():.2f}")
+    # made it onto the feature
+    dx = pos[0] - start_x
+    assert dx >= min_dx, f"{name} advanced only {dx:.2f} m"
+    assert pos[0] > 2.0, f"{name} never reached the feature at x=2"
+    # the estimator saw the terrain: com_z (height above the FITTED stance
+    # plane) stays near nominal all the way up — that is the slope-aware
+    # path working; world z meanwhile rose with the ground (clearance
+    # bounds above) — and the fitted ground normal tilted against the +x
+    # grade (0.2 for both features -> normal_x ~ -0.2 once on it)
+    assert abs(com_z_est[-10:].mean() - h) < 0.12, (
+        f"{name} com_z estimate off nominal: {com_z_est[-10:].mean():.3f}")
+    assert normal_x[-30:].mean() < -0.08, (
+        f"{name} ground normal never tilted: {normal_x[-30:].mean():.3f}")
+
+
 @pytest.mark.parametrize("name,params_fn,vx,min_x", CASES,
                          ids=[c[0] for c in CASES])
 def test_walks_upright_and_advances(name, params_fn, vx, min_x):
