@@ -223,8 +223,16 @@ def cmd_train(args):
     from .rl.ppo import PPOConfig
     from .sim.env import EnvConfig
 
-    params = {"aliengo": robots.aliengo_params, "go1": robots.go1_params,
-              "a1": robots.a1_params}[args.task.lower()]()
+    if args.robots:
+        # heterogeneous batch: cycle the listed robots over the envs
+        # (stacked per-env RobotParams, SURVEY §7)
+        ids = [robots.ROBOT_NAMES[r.strip().lower()]
+               for r in args.robots.split(",")]
+        ids = (ids * (args.num_envs // len(ids) + 1))[:args.num_envs]
+        params = train_mod.stacked_robot_params(ids)
+    else:
+        params = {"aliengo": robots.aliengo_params, "go1": robots.go1_params,
+                  "a1": robots.a1_params}[args.task.lower()]()
     # Pallas solver on TPU; XLA path elsewhere
     qp = production_qp_config()._replace(
         use_pallas=_jax.default_backend() == "tpu")
@@ -340,6 +348,10 @@ def main(argv=None):
 
     pt = sub.add_parser("train", help="PPO weight-policy training")
     pt.add_argument("--task", default="Aliengo")
+    pt.add_argument("--robots", default=None, metavar="LIST",
+                    help="comma list for a heterogeneous batch, e.g. "
+                         "'aliengo,go1,a1' (cycled over --num-envs; "
+                         "overrides --task)")
     pt.add_argument("--config", default=None, metavar="YAML",
                     help="TrainConfig YAML overlay (e.g. cfg/aliengo.yaml)")
     pt.add_argument("--override", action="append", default=[],

@@ -38,25 +38,48 @@ class TrainConfig:
     env: env_mod.EnvConfig = env_mod.EnvConfig()
 
 
-def make_env_fns(params: RobotParams, cfg: TrainConfig,
-                 ter: terrain_mod.Terrain):
-    """Vectorized (reset, step) over the env batch. The MPC solve gate is a
-    *scalar* derived from the global tick so lax.cond skips the QP on
-    non-solve ticks for the whole batch."""
+def is_per_env(params: RobotParams) -> bool:
+    """Stacked (B, ...) per-env params vs a single robot's scalars."""
+    return jnp.ndim(params.body_mass) == 1
+
+
+def stacked_robot_params(robot_ids) -> RobotParams:
+    """Per-env RobotParams from robot ids (0=Aliengo, 1=Go1, 2=A1) — the
+    SURVEY §7 design stance: robot constants are vmappable arrays, so one
+    training batch mixes A1+Go1+Aliengo (the reference trains one task
+    class per run, tasks/{aliengo,a1,go1}.py)."""
+    from ..models import robots
+    reg = robots.robot_registry()
+    ids = jnp.asarray(robot_ids, jnp.int32)
+    return jax.tree.map(lambda x: x[ids], reg)
+
+
+def make_env_fns(cfg: TrainConfig, ter: terrain_mod.Terrain):
+    """Vectorized (reset, step) over the env batch; ``params`` is a
+    call-time argument so heterogeneous (stacked per-env) params shard
+    with the env axis. The MPC solve gate is a *scalar* derived from the
+    global tick so lax.cond skips the QP on non-solve ticks for the whole
+    batch."""
     ipm = cfg.env.control.iterations_between_mpc
 
-    def reset_batch(rng):
+    def _axes(params):
+        return (0 if is_per_env(params) else None)
+
+    def reset_batch(params, rng):
         keys = jax.random.split(rng, cfg.num_envs)
-        state = jax.vmap(lambda k: env_mod.reset(params, cfg.env, k))(keys)
-        obs = jax.vmap(lambda s: env_mod.observations(params, cfg.env, s))(state)
+        state = jax.vmap(lambda p, k: env_mod.reset(p, cfg.env, k),
+                         in_axes=(_axes(params), 0))(params, keys)
+        obs = jax.vmap(lambda p, s: env_mod.observations(p, cfg.env, s),
+                       in_axes=(_axes(params), 0))(params, state)
         return state, obs
 
-    def step_batch(state, actions, t):
+    def step_batch(params, state, actions, t):
         # every env's counter is t (aligned on reset), so the gate is exact
         gate = ((t + 1) % ipm) == 0
         state, obs, rew, done, info = jax.vmap(
-            lambda s, a: env_mod.step(params, cfg.env, ter, s, a,
-                                      solve_gate=gate))(state, actions)
+            lambda p, s, a: env_mod.step(p, cfg.env, ter, s, a,
+                                         solve_gate=gate),
+            in_axes=(_axes(params), 0, 0))(params, state, actions)
         return state, obs, rew, done, info
 
     return reset_batch, step_batch
@@ -65,11 +88,20 @@ def make_env_fns(params: RobotParams, cfg: TrainConfig,
 def make_train_step(params: RobotParams, cfg: TrainConfig,
                     ter: terrain_mod.Terrain, model: ActorCritic,
                     mesh=None):
-    reset_batch, step_batch = make_env_fns(params, cfg, ter)
+    """Returns (step_fn(train_state, env_state, obs, tick), reset_fn(rng)).
 
-    def train_step(train_state: ppo.TrainState, env_state, obs, tick):
+    ``params`` may be a single robot's RobotParams or a stacked per-env
+    (num_envs, ...) pytree (heterogeneous batch). Internally the params
+    are a real input of the jitted step — with a mesh, per-env params
+    shard over the env axis alongside the env state (a closure constant
+    could not: inside shard_map each shard sees only its slice)."""
+    reset_batch, step_batch = make_env_fns(cfg, ter)
+    per_env = is_per_env(params)
+
+    def train_step(train_state: ppo.TrainState, env_state, obs, tick,
+                   env_params):
         def env_step(es, actions, t):
-            return step_batch(es, actions, tick + t)
+            return step_batch(env_params, es, actions, tick + t)
 
         env_state, obs, rng, traj = ppo.rollout(
             model, train_state.params, env_step, env_state, obs,
@@ -89,21 +121,22 @@ def make_train_step(params: RobotParams, cfg: TrainConfig,
         return train_state, env_state, obs, tick + cfg.ppo.num_steps, metrics
 
     if mesh is None:
-        return jax.jit(train_step), reset_batch
+        jitted = jax.jit(train_step)
+    else:
+        # ---- sharded: env batch (and per-env params) split over the mesh
+        env_spec = P(ENV_AXIS)
+        rep = P()
+        p_spec = jax.tree.map(lambda _: env_spec if per_env else rep, params)
+        smapped = jax.shard_map(
+            train_step, mesh=mesh,
+            in_specs=(rep, env_spec, env_spec, rep, p_spec),
+            out_specs=(rep, env_spec, env_spec, rep, rep),
+            check_vma=False)
+        jitted = jax.jit(smapped)
 
-    # ---- sharded version: env batch split over the mesh, params replicated
-    env_spec = P(ENV_AXIS)
-    rep = P()
-
-    def sharded_step(train_state, env_state, obs, tick):
-        return train_step(train_state, env_state, obs, tick)
-
-    smapped = jax.shard_map(
-        sharded_step, mesh=mesh,
-        in_specs=(rep, env_spec, env_spec, rep),
-        out_specs=(rep, env_spec, env_spec, rep, rep),
-        check_vma=False)
-    return jax.jit(smapped), reset_batch
+    step_fn = lambda ts, es, obs, tick: jitted(ts, es, obs, tick, params)
+    reset_fn = lambda rng: reset_batch(params, rng)
+    return step_fn, reset_fn
 
 
 def resume_train_state(resume_from: str, train_state, log_fn=print):

@@ -329,3 +329,55 @@ class TestTrainStep:
         assert np.isfinite(float(metrics["loss"]))
         assert np.isfinite(float(metrics["mean_reward"]))
         assert int(tick) == 4
+
+    def test_heterogeneous_robot_train_step(self):
+        """One training batch mixing Aliengo+Go1+A1 (stacked per-env
+        RobotParams, SURVEY §7 design stance): the rollout + PPO update
+        must run with per-env robot constants and produce finite metrics,
+        and physically distinct robots must see distinct dynamics."""
+        robot_ids = [0, 1, 2, 0, 1, 2]
+        params = train_mod.stacked_robot_params(robot_ids)
+        assert train_mod.is_per_env(params)
+        cfg = train_mod.TrainConfig(
+            num_envs=6,
+            ppo=ppo.PPOConfig(num_steps=4, num_minibatches=2, num_epochs=1),
+            env=FAST_ENV)
+        ter = terrain.flat(extent=20.0, cell=0.2)
+        model = ActorCritic(num_actions=12, hidden=(32, 32))
+        ts = ppo.init_train_state(jax.random.PRNGKey(0), model,
+                                  env_mod.NUM_OBS, cfg.ppo)
+        step_fn, reset_batch = train_mod.make_train_step(params, cfg, ter,
+                                                         model)
+        env_state, obs = reset_batch(jax.random.PRNGKey(1))
+        # per-env masses really differ (Aliengo 18.1 / Go1 10.4 / A1 25.5)
+        masses = np.asarray(params.body_mass)
+        assert len(set(np.round(masses, 3))) == 3
+        ts, env_state, obs, tick, metrics = step_fn(ts, env_state, obs,
+                                                    jnp.int32(0))
+        assert np.isfinite(float(metrics["loss"]))
+        assert np.isfinite(float(metrics["mean_reward"]))
+        assert np.isfinite(np.asarray(obs)).all()
+
+    def test_heterogeneous_sharded_train_step(self):
+        """Heterogeneous batch UNDER shard_map: per-env params shard over
+        the env axis of the 8-device CPU mesh alongside the env state."""
+        from jax.sharding import Mesh
+
+        robot_ids = [0, 1, 2, 0, 1, 2, 1, 0]
+        params = train_mod.stacked_robot_params(robot_ids)
+        cfg = train_mod.TrainConfig(
+            num_envs=8,
+            ppo=ppo.PPOConfig(num_steps=4, num_minibatches=2, num_epochs=1),
+            env=FAST_ENV)
+        ter = terrain.flat(extent=20.0, cell=0.2)
+        model = ActorCritic(num_actions=12, hidden=(32, 32))
+        ts = ppo.init_train_state(jax.random.PRNGKey(0), model,
+                                  env_mod.NUM_OBS, cfg.ppo)
+        mesh = Mesh(np.array(jax.devices()).reshape(-1), ("env",))
+        step_fn, reset_batch = train_mod.make_train_step(params, cfg, ter,
+                                                         model, mesh)
+        env_state, obs = reset_batch(jax.random.PRNGKey(1))
+        ts, env_state, obs, tick, metrics = step_fn(ts, env_state, obs,
+                                                    jnp.int32(0))
+        assert np.isfinite(float(metrics["loss"]))
+        assert np.isfinite(float(metrics["mean_reward"]))
