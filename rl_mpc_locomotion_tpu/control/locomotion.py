@@ -47,10 +47,6 @@ class LocoStepResult(NamedTuple):
     metrics: dict
 
 
-class _SwingState(NamedTuple):
-    """Extra swing-sample memory folded into LocomotionState.p0/pf usage."""
-
-
 def _solve_mpc(params: RobotParams, cfg: ControlConfig, se: StateEstimate,
                com_z, foot_positions, mpc_table, weights, commands,
                qp_state: qp_mod.QPState):
@@ -87,14 +83,18 @@ def _solve_mpc(params: RobotParams, cfg: ControlConfig, se: StateEstimate,
     b_mat = srb.build_b_mat(1.0 / params.body_mass, inv_inertia_world,
                             foot_world)
     a_exp, b_exp = srb.discretize_exact(a_mat, b_mat, cfg.dt_mpc)
-    a_qp, b_qp = srb.condense(a_exp, b_exp, horizon)
+    # chain-form condensation: B_qp is never materialized; the Hessian is
+    # built from the A^k B chain inside the fused Pallas kernel (or by
+    # hessian_from_chain on the XLA path) — equals the dense condense +
+    # build_qp_cost to f32 precision (srb.condense_chain docstring)
+    a_qp, s_chain = srb.condense_chain(a_exp, b_exp, horizon)
 
     x0 = srb.build_state_vec(com_rpy, com_position, com_omega, com_vel)
     x_des = srb.build_desired_states(com_rpy, com_position, desired_position,
                                      desired_velocity, desired_rpy,
                                      desired_omega, cfg.dt_mpc, horizon)
-    p_mat, q_vec = srb.build_qp_cost(a_qp, b_qp, x0, x_des, weights,
-                                     cfg.alpha, horizon)
+    q_vec = srb.gradient_from_chain(s_chain, a_qp, x0, x_des, weights,
+                                    horizon)
 
     mu = params.friction_coeff
     lb, ub = srb.constraint_bounds(mpc_table, params.body_mass, mu, horizon)
@@ -104,8 +104,9 @@ def _solve_mpc(params: RobotParams, cfg: ControlConfig, se: StateEstimate,
     c_blocks = jnp.tile(srb.friction_cone_block(mu)[None],
                         (horizon * 4, 1, 1))
 
-    x, new_qp_state, diag = qp_mod.solve_qp(p_mat, q_vec, c_blocks, lb, ub,
-                                            qp_state, cfg.qp, mask=mask)
+    x, new_qp_state, diag = qp_mod.solve_qp_chain(
+        s_chain, q_vec, weights, cfg.alpha, c_blocks, lb, ub, qp_state,
+        cfg.qp, mask=mask, horizon=horizon)
     # sign flip: solver variable is GRF on the body; f_ff is foot-on-ground
     # (mpc_osqp.cc:789-790, 940-942)
     f_ff = -x[:12].reshape(4, 3)

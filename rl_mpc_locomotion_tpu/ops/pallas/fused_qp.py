@@ -80,21 +80,17 @@ def _ruiz_in_vmem(kbuf, q_s, cs, iters: int):
     return q_s, cs, d, e, c_cost
 
 
-def _fused_kernel(iters: int, sigma: float, relax: float, rho_base: float,
+def _solve_phases(iters: int, sigma: float, relax: float, rho_base: float,
                   rho_eq_scale: float, ruiz_iters: int, deferred_rho: bool,
-                  p_hbm, q_ref, c_ref, l_ref, u_ref, rm_ref, mask_ref,
+                  q_ref, c_ref, l_ref, u_ref, rm_ref, mask_ref,
                   x0_ref, z0_ref, y0_ref,
-                  x_out, z_out, y_out, rm_out, viol_out,
-                  kbuf, sem):
+                  x_out, z_out, y_out, rm_out, viol_out, kbuf):
+    """Phases 1-8 (mask -> Ruiz -> K -> GJ -> ADMM -> rho -> unscale) on a
+    Hessian already resident in ``kbuf`` — shared by the P-input kernel
+    (DMA) and the chain-input kernel (in-VMEM P build)."""
     # sizes via the module so tests can shrink them (see admm_kernel)
     n, m, nb, tr = (admm_kernel.N, admm_kernel.M, admm_kernel.NB,
                     admm_kernel.TR)
-    t = pl.program_id(0)
-
-    dma = pltpu.make_async_copy(
-        p_hbm.at[:, :, pl.ds(t * tr, tr)], kbuf, sem)
-    dma.start()
-    dma.wait()
 
     q = q_ref[:, :]                 # (n,tr)
     c0 = c_ref[:, :, :, :]          # (nb,5,3,tr)
@@ -196,6 +192,180 @@ def _fused_kernel(iters: int, sigma: float, relax: float, rho_base: float,
     y_out[:, :] = y_u
     rm_out[:, :] = new_rm
     viol_out[:, :] = viol
+
+
+def _fused_kernel(iters, sigma, relax, rho_base, rho_eq_scale, ruiz_iters,
+                  deferred_rho,
+                  p_hbm, q_ref, c_ref, l_ref, u_ref, rm_ref, mask_ref,
+                  x0_ref, z0_ref, y0_ref,
+                  x_out, z_out, y_out, rm_out, viol_out,
+                  kbuf, sem):
+    """P-input variant: DMA the prebuilt Hessian tile, then solve."""
+    tr = admm_kernel.TR
+    t = pl.program_id(0)
+    dma = pltpu.make_async_copy(
+        p_hbm.at[:, :, pl.ds(t * tr, tr)], kbuf, sem)
+    dma.start()
+    dma.wait()
+    _solve_phases(iters, sigma, relax, rho_base, rho_eq_scale, ruiz_iters,
+                  deferred_rho, q_ref, c_ref, l_ref, u_ref, rm_ref,
+                  mask_ref, x0_ref, z0_ref, y0_ref,
+                  x_out, z_out, y_out, rm_out, viol_out, kbuf)
+
+
+def _fused_kernel_chain(iters, sigma, relax, rho_base, rho_eq_scale,
+                        ruiz_iters, deferred_rho, alpha, horizon,
+                        s_ref, w_ref, q_ref, c_ref, l_ref, u_ref, rm_ref,
+                        mask_ref, x0_ref, z0_ref, y0_ref,
+                        x_out, z_out, y_out, rm_out, viol_out,
+                        kbuf):
+    """Chain-input variant: P = 2 B_qp^T Q B_qp + alpha I is built HERE,
+    in VMEM, from the tiny A^k B chain (srb_dynamics.condense_chain) —
+    XLA never materializes B_qp (130x120) or P (120x120) per robot, and
+    the kernel input shrinks from N*N to h*13*12 floats per robot.
+
+    Build (see condense_chain for the math):
+      M = U V^T via ONE 13-term rank-1 elementwise pass over the (n,n,tr)
+      buffer (13 FMAs/element — ~1/9 of the GJ factor's cost), then the
+      lower/diagonal blocks become suffix sums along M's upper block
+      diagonals (static h^2/2 (12,12,tr) slab reads; writes land strictly
+      below the reads so the transform is in-place), and the upper blocks
+      mirror the lower by symmetry.
+    """
+    n, tr = admm_kernel.N, admm_kernel.TR
+    h = horizon
+    blk = n // h                           # 12
+
+    s = s_ref[:, :, :, :]                  # (h, 13, 12, tr)
+    w13 = w_ref[:, :]                      # (13, tr)
+
+    # ---- M = sum_c (w_c * S[:,c,:]) outer S[:,c,:]: one buffer pass ----
+    def col(c):
+        return s[:, c:c + 1, :, :].reshape(n, tr)
+    kbuf[:, :, :] = sum(
+        (col(c) * w13[c:c + 1, :]).reshape(n, 1, tr)
+        * col(c).reshape(1, n, tr)
+        for c in range(s.shape[1]))
+
+    ei = jax.lax.broadcasted_iota(jnp.int32, (blk, blk, 1), 0)
+    ej = jax.lax.broadcasted_iota(jnp.int32, (blk, blk, 1), 1)
+    eye_blk = (ei == ej).astype(jnp.float32)
+
+    # ---- strict-lower blocks: reads on upper diag d, writes strictly
+    # below them (no aliasing) ----
+    for d in range(1, h):
+        acc = None
+        for j in range(h - d):
+            m_blk = kbuf[blk * j:blk * (j + 1),
+                         blk * (j + d):blk * (j + d + 1), :]
+            acc = m_blk if acc is None else acc + m_blk
+            a_b = h - 1 - j
+            kbuf[blk * a_b:blk * (a_b + 1),
+                 blk * (a_b - d):blk * (a_b - d + 1), :] = 2.0 * acc
+    # ---- main diagonal: buffer all reads before writing (aliasing) ----
+    acc = None
+    vals = []
+    for j in range(h):
+        m_blk = kbuf[blk * j:blk * (j + 1), blk * j:blk * (j + 1), :]
+        acc = m_blk if acc is None else acc + m_blk
+        vals.append(acc)
+    for j in range(h):
+        a_b = h - 1 - j
+        kbuf[blk * a_b:blk * (a_b + 1), blk * a_b:blk * (a_b + 1), :] = (
+            2.0 * vals[j] + alpha * eye_blk)
+    # ---- strict-upper blocks: transpose of the (final) lower ----
+    for a_b in range(h):
+        for b_b in range(a_b + 1, h):
+            low = kbuf[blk * b_b:blk * (b_b + 1),
+                       blk * a_b:blk * (a_b + 1), :]
+            kbuf[blk * a_b:blk * (a_b + 1),
+                 blk * b_b:blk * (b_b + 1), :] = jnp.swapaxes(low, 0, 1)
+
+    _solve_phases(iters, sigma, relax, rho_base, rho_eq_scale, ruiz_iters,
+                  deferred_rho, q_ref, c_ref, l_ref, u_ref, rm_ref,
+                  mask_ref, x0_ref, z0_ref, y0_ref,
+                  x_out, z_out, y_out, rm_out, viol_out, kbuf)
+
+
+def fused_solve_chain_batch(s_chain, weights, q_vec, c_blocks, lb, ub, mask,
+                            x, z, y, rho_mult, *, alpha: float, iters: int,
+                            sigma: float, relax: float, rho_base: float,
+                            rho_eq_scale: float, ruiz_iters: int,
+                            deferred_rho: bool, interpret: bool = False):
+    """Batched full QP solve from the condensation chain (production MPC
+    path): s_chain (B, h, 13, 12), weights (B, 13), rest as
+    fused_solve_batch. P is built inside the kernel."""
+    n, m, nb, tr = (admm_kernel.N, admm_kernel.M, admm_kernel.NB,
+                    admm_kernel.TR)
+    b = s_chain.shape[0]
+    h = s_chain.shape[1]
+    b_pad = ((b + tr - 1) // tr) * tr
+
+    def pad(a):
+        return jnp.pad(a, [(0, b_pad - b)] + [(0, 0)] * (a.ndim - 1))
+
+    rm_p = pad(rho_mult.reshape(b, 1))
+    rm_p = jnp.where(rm_p == 0, 1.0, rm_p)
+    mask_p = pad(mask)
+    if b_pad > b:
+        # padded lanes: keep P = alpha I (s = 0) well-posed for the GJ
+        mask_p = mask_p.at[b:].set(1.0)
+
+    s_soa = jnp.moveaxis(pad(s_chain), 0, -1)     # (h, 13, 12, Bp)
+    w_soa = jnp.moveaxis(pad(weights), 0, -1)     # (13, Bp)
+    q_soa = jnp.moveaxis(pad(q_vec), 0, -1)
+    c_soa = jnp.moveaxis(pad(c_blocks), 0, -1)
+    l_soa = jnp.moveaxis(pad(lb), 0, -1)
+    u_soa = jnp.moveaxis(pad(ub), 0, -1)
+    rm_soa = jnp.moveaxis(rm_p, 0, -1)
+    m_soa = jnp.moveaxis(mask_p, 0, -1)
+    x_soa = jnp.moveaxis(pad(x), 0, -1)
+    z_soa = jnp.moveaxis(pad(z), 0, -1)
+    y_soa = jnp.moveaxis(pad(y), 0, -1)
+
+    grid = (b_pad // tr,)
+    vec_spec = lambda dim: pl.BlockSpec((dim, tr), lambda t: (0, t),
+                                        memory_space=pltpu.VMEM)
+    c_spec = pl.BlockSpec((nb, 5, 3, tr), lambda t: (0, 0, 0, t),
+                          memory_space=pltpu.VMEM)
+    s_spec = pl.BlockSpec((h, s_chain.shape[2], s_chain.shape[3], tr),
+                          lambda t: (0, 0, 0, t), memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_fused_kernel_chain, iters, sigma, relax,
+                               rho_base, rho_eq_scale, ruiz_iters,
+                               deferred_rho, alpha, h)
+    x_o, z_o, y_o, rm_o, viol_o = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            s_spec, vec_spec(13),
+            vec_spec(n), c_spec, vec_spec(m), vec_spec(m), vec_spec(1),
+            vec_spec(n), vec_spec(n), vec_spec(m), vec_spec(m),
+        ],
+        out_specs=(vec_spec(n), vec_spec(m), vec_spec(m), vec_spec(1),
+                   vec_spec(1)),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, b_pad), jnp.float32),
+            jax.ShapeDtypeStruct((m, b_pad), jnp.float32),
+            jax.ShapeDtypeStruct((m, b_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, b_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, b_pad), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n, n, tr), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            # same budget rationale as fused_solve_batch below; the P
+            # build adds only (h,13,12,tr) inputs and (12,12,tr) slabs
+            vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interpret,
+    )(s_soa, w_soa, q_soa, c_soa, l_soa, u_soa, rm_soa, m_soa, x_soa,
+      z_soa, y_soa)
+
+    back = lambda a: jnp.moveaxis(a, -1, 0)[:b]
+    return (back(x_o), back(z_o), back(y_o),
+            back(rm_o).reshape(-1), back(viol_o).reshape(-1))
 
 
 def fused_solve_batch(p_mat, q_vec, c_blocks, lb, ub, mask, x, z, y,

@@ -262,6 +262,66 @@ def solve_qp(p_mat, q_vec, c_blocks, lb, ub, state: QPState, cfg: QPConfig,
         return _solve_qp_impl(p_mat, q_vec, c_blocks, lb, ub, state, cfg)
 
 
+def solve_qp_chain(s_chain, q_vec, weights, alpha, c_blocks, lb, ub,
+                   state: QPState, cfg: QPConfig, mask=None, horizon=10):
+    """Solve the MPC QP from the condensation chain (production path).
+
+    ``s_chain`` (h, 13, 12) = A^k B and ``weights`` (13,) replace the dense
+    Hessian: on the batched Pallas path P is built inside the fused kernel
+    (srb_dynamics.condense_chain docstring), so neither B_qp nor P ever
+    exists in HBM; elsewhere P = hessian_from_chain and the solve proceeds
+    as solve_qp. Same returns as solve_qp.
+    """
+    from .srb_dynamics import hessian_from_chain
+
+    with jax.default_matmul_precision("float32"):
+        if _fused_eligible(cfg):
+            m = (jnp.ones(q_vec.shape[0], q_vec.dtype) if mask is None
+                 else mask)
+            solver = _make_fused_chain_solver(cfg, float(alpha))
+            x_u, z_u, y_u, rm, viol = solver(
+                s_chain, weights, q_vec, c_blocks, lb, ub, m,
+                state.x, state.z, state.y, state.rho_mult)
+            return (x_u, QPState(x=x_u, z=z_u, y=y_u, rho_mult=rm),
+                    {"primal_violation": viol})
+        p_mat = hessian_from_chain(s_chain, weights, alpha, horizon)
+        if mask is not None:
+            p_mat = (p_mat * mask[:, None] * mask[None, :]
+                     + jnp.diag(1.0 - mask))
+            q_vec = q_vec * mask
+        return _solve_qp_impl(p_mat, q_vec, c_blocks, lb, ub, state, cfg)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_fused_chain_solver(cfg: QPConfig, alpha: float):
+    """Chain-input whole-solve custom-vmap op (see _make_fused_solver)."""
+    xla_cfg = cfg._replace(use_pallas=False)
+
+    @jax.custom_batching.custom_vmap
+    def solve_full(s, w, q, c, lb, ub, mask, x, z, y, rho_mult):
+        from .srb_dynamics import hessian_from_chain
+        p = hessian_from_chain(s, w, alpha, s.shape[0])
+        pm = p * mask[:, None] * mask[None, :] + jnp.diag(1.0 - mask)
+        qm = q * mask
+        x_u, st, diag = _solve_qp_impl(pm, qm, c, lb, ub,
+                                       QPState(x, z, y, rho_mult), xla_cfg)
+        return x_u, st.z, st.y, st.rho_mult, diag["primal_violation"]
+
+    @solve_full.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        args = [a if bt else jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+                for a, bt in zip(args, in_batched)]
+        from .pallas.fused_qp import fused_solve_chain_batch
+        out = fused_solve_chain_batch(
+            *args, alpha=alpha, iters=cfg.iters, sigma=cfg.sigma,
+            relax=cfg.relax, rho_base=cfg.rho,
+            rho_eq_scale=cfg.rho_eq_scale, ruiz_iters=cfg.ruiz_iters,
+            deferred_rho=cfg.deferred_rho)
+        return out, (True,) * 5
+
+    return solve_full
+
+
 def _fused_eligible(cfg: QPConfig) -> bool:
     """The fused Pallas kernel covers the production solve shape: fixed
     iterations with optional deferred rho. Polish / immediate adaptive-rho

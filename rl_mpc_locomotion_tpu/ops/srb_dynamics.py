@@ -178,6 +178,93 @@ def build_qp_cost_blocks(a_qp, blocks, x0, x_des, weights, alpha,
     return p_mat, q_vec
 
 
+def condense_chain(a_exp, b_exp, horizon=10, compat_last_aqp_zero=True):
+    """The raw condensation ingredients WITHOUT materializing B_qp:
+    (a_qp (h*13, 13), s (h, 13, 12)) with s[k] = A^k B.
+
+    B_qp is lower-block-triangular with block (i, j) = s[i-j], so every
+    condensed quantity reduces to sums over the chain:
+      P[a,b] = 2 sum_{i>=max(a,b)} s[i-a]^T Q s[i-b]
+             = 2 * T[|a-b|, h-1-max(a,b)]   (transposed when a<b),
+      T[d,j] = sum_{k<=j} M[k, k+d],  M[k,d] = s[k]^T Q s[d]
+      q[a]   = 2 sum_k s[k]^T (w * sd[k+a])
+    — the batched form of the reference's O(h^2) CalculateQpMats recursion
+    (mpc_osqp.cc:353-435). The production path evaluates P *inside* the
+    fused Pallas kernel (ops/pallas/fused_qp.fused_solve_chain_batch: one
+    13-term rank-1 VMEM pass + block suffix sums), so the (120, 130) B_qp
+    and the (120, 120) P never round-trip through HBM; XLA keeps only this
+    tiny chain (10 sequential 13x13 matmuls) and the gradient.
+
+    ``compat_last_aqp_zero`` keeps the reference's zero final A_qp block
+    (see condense()); it only affects q via state_diff.
+    """
+    h = horizon
+    powers_l = [a_exp]
+    anb_l = [b_exp]
+    for _ in range(h - 1):
+        powers_l.append(a_exp @ powers_l[-1])
+        anb_l.append(a_exp @ anb_l[-1])
+    if compat_last_aqp_zero:
+        powers_l[h - 1] = jnp.zeros_like(powers_l[h - 1])
+    a_qp = jnp.stack(powers_l).reshape(h * STATE_DIM, STATE_DIM)
+    s = jnp.stack(anb_l)                               # (h, 13, 12)
+    return a_qp, s
+
+
+def gradient_from_chain(s, a_qp, x0, x_des, weights, horizon=None):
+    """q = 2 B_qp^T Q (A_qp x0 - x_des) from the chain: tiny einsum.
+
+    Dims derive from s (h, state, act) so shrunken test sizes work."""
+    h, sd, ad = s.shape
+    state_diff = (a_qp @ x0 - x_des).reshape(h, sd)
+    wsd = state_diff * weights[None, :]
+    a_i = jnp.arange(h)[:, None]
+    k_i = jnp.arange(h)[None, :]
+    ak = a_i + k_i                                     # (a, k) source step
+    wsd_sh = jnp.where((ak < h)[:, :, None],
+                       wsd[jnp.clip(ak, 0, h - 1)], 0.0)   # (a, k, 13)
+    return 2.0 * jnp.einsum('kcr,akc->ar', s, wsd_sh).reshape(h * ad)
+
+
+def hessian_from_chain(s, weights, alpha, horizon=None):
+    """P = 2 B_qp^T Q B_qp + alpha I evaluated from the chain (XLA path;
+    reference for the in-kernel build — see condense_chain docstring)."""
+    h, sd, ad = s.shape
+    w = weights
+    u = (s * w[None, :, None]).transpose(0, 2, 1).reshape(h * ad, sd)
+    v = s.transpose(0, 2, 1).reshape(h * ad, sd)
+    m2 = u @ v.T                                       # (h*12, h*12)
+    m4 = m2.reshape(h, ad, h, ad).transpose(0, 2, 1, 3)
+
+    k_i = jnp.arange(h)[None, :]
+    d_i = jnp.arange(h)[:, None]
+    tgt = jnp.clip(k_i + d_i, 0, h - 1)
+    dg = m4[jnp.broadcast_to(k_i, (h, h)), tgt]        # (d, k, 12, 12)
+    dg = jnp.where(((k_i + d_i) < h)[:, :, None, None], dg, 0.0)
+    csum = jnp.cumsum(dg, axis=1)                      # (d, j, 12, 12)
+
+    a_i = jnp.arange(h)[:, None]
+    b_i = jnp.arange(h)[None, :]
+    delta = jnp.abs(a_i - b_i)
+    jj = h - 1 - jnp.maximum(a_i, b_i)
+    blocks = csum[delta, jj]                           # (a, b, 12, 12)
+    blocks = jnp.where((a_i >= b_i)[:, :, None, None], blocks,
+                       jnp.swapaxes(blocks, -1, -2))
+    n = h * ad
+    return (2.0 * blocks.transpose(0, 2, 1, 3).reshape(n, n)
+            + alpha * jnp.eye(n, dtype=s.dtype))
+
+
+def condense_cost(a_exp, b_exp, x0, x_des, weights, alpha, horizon=10,
+                  compat_last_aqp_zero=True):
+    """(P, q) directly from the A^k B chain (see condense_chain). Equals
+    condense() + build_qp_cost() to f32 precision."""
+    a_qp, s = condense_chain(a_exp, b_exp, horizon, compat_last_aqp_zero)
+    p_mat = hessian_from_chain(s, weights, alpha, horizon)
+    q_vec = gradient_from_chain(s, a_qp, x0, x_des, weights, horizon)
+    return p_mat, q_vec
+
+
 def build_qp_cost(a_qp, b_qp, x0, x_des, weights, alpha, horizon=10):
     """Condensed dense QP cost: P = 2 B^T Q B + alpha I, q = 2 B^T Q (A x0 - xd).
 

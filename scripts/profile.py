@@ -540,22 +540,14 @@ def cmd_inverse(args):
     g = jax.random.normal(key, (b, n, n), jnp.float32) * 0.1
     k0 = jnp.einsum('bij,bkj->bik', g, g) + 10.0 * jnp.eye(n)
 
-    def chain(fn, reps=5, length=8):
-        @jax.jit
-        def run(k):
-            def step(k, _):
-                kinv = fn(k)
-                return k + 1e-8 * kinv, kinv[0, 0, 0]
-            return jax.lax.scan(step, k, None, length=length)
-        kc, p = run(k0)
-        jax.block_until_ready(p)
-        best = 1e9
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            kc, p = run(kc)
-            jax.block_until_ready(p)
-            best = min(best, (time.perf_counter() - t0) / length * 1000.0)
-        return best
+    def chain(fn):
+        # in-executable chain (slope_timeit): the dispatch-chained scan
+        # variant measured ~0 on the axon relay even with data-dependent
+        # carries — only slope timing inside ONE jit is trustworthy here
+        def step(k):
+            kinv = fn(k)
+            return k + 1e-8 * kinv
+        return slope_timeit(step, (k0,), iters=10)
 
     with jax.default_matmul_precision("float32"):
         out = {}

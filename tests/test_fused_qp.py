@@ -155,3 +155,80 @@ class TestFusedKernel:
         want = xla_reference(p, q, c, lb, ub, mask, x, z, y, rm)
         check_close((xs, new_state.z, new_state.y, new_state.rho_mult,
                      diag["primal_violation"]), want)
+
+
+class TestChainKernel:
+    """Chain-input fused kernel (fused_solve_chain_batch): P is built
+    in-VMEM from the A^k B chain (suffix-diagonal scheme) — compare
+    against hessian_from_chain + the XLA pipeline on identical inputs."""
+
+    def _chain_problem(self, b, h, sd, nb, seed=0):
+        # n = h * ad must equal NB*3 (constraint block structure)
+        n = nb * 3
+        ad = n // h
+        m = nb * 5
+        rng = np.random.default_rng(seed)
+        s = (rng.normal(size=(b, h, sd, ad)) * 0.4).astype(np.float32)
+        w = (np.abs(rng.normal(size=(b, sd))) + 0.2).astype(np.float32)
+        c = rng.normal(size=(b, nb, 5, 3)).astype(np.float32)
+        active = (rng.random((b, nb)) > 0.3).astype(np.float32)
+        active[:, 0] = 1.0
+        mask = np.repeat(active, 3, axis=1)
+        rows = np.repeat(active, 5, axis=1)
+        lb = -np.abs(rng.normal(size=(b, m))).astype(np.float32) * rows
+        ub = np.abs(rng.normal(size=(b, m))).astype(np.float32) * rows
+        q = (rng.normal(size=(b, n)) * 2.0).astype(np.float32)
+        x = np.zeros((b, n), np.float32)
+        z = np.zeros((b, m), np.float32)
+        y = np.zeros((b, m), np.float32)
+        rm = np.ones((b,), np.float32)
+        return map(jnp.array, (s, w, q, c, lb, ub, mask, x, z, y, rm))
+
+    def test_chain_kernel_matches_xla(self, small_sizes):
+        from rl_mpc_locomotion_tpu.ops.srb_dynamics import hessian_from_chain
+
+        n, m, nb, tr = small_sizes
+        b, h, sd = 11, 2, 7     # n=12 -> 2 blocks of 6 per step
+        alpha = 1e-4
+        s, w, q, c, lb, ub, mask, x, z, y, rm = self._chain_problem(
+            b, h, sd, nb, seed=7)
+        got = fused_qp.fused_solve_chain_batch(
+            s, w, q, c, lb, ub, mask, x, z, y, rm, alpha=alpha,
+            iters=CFG.iters, sigma=CFG.sigma, relax=CFG.relax,
+            rho_base=CFG.rho, rho_eq_scale=CFG.rho_eq_scale,
+            ruiz_iters=CFG.ruiz_iters, deferred_rho=CFG.deferred_rho,
+            interpret=True)
+        p = jax.vmap(lambda ss, ww: hessian_from_chain(ss, ww, alpha))(s, w)
+        want = xla_reference(p, q, c, lb, ub, mask, x, z, y, rm)
+        check_close(got, want)
+
+    def test_solve_qp_chain_routes_through_kernel(self, small_sizes,
+                                                  monkeypatch):
+        n, m, nb, tr = small_sizes
+        b, h, sd = 8, 2, 7
+        alpha = 1e-4
+        s, w, q, c, lb, ub, mask, x, z, y, rm = self._chain_problem(
+            b, h, sd, nb, seed=9)
+        calls = {}
+        orig = fused_qp.fused_solve_chain_batch
+
+        def spy(*a, **kw):
+            calls["hit"] = True
+            kw["interpret"] = True
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(fused_qp, "fused_solve_chain_batch", spy)
+        qp_mod._make_fused_chain_solver.cache_clear()
+        cfg = CFG._replace(use_pallas=True)
+        states = qp_mod.QPState(x=x, z=z, y=y, rho_mult=rm)
+        xs, new_state, diag = jax.vmap(
+            lambda s1, w1, q1, c1, l1, u1, st1, m1: qp_mod.solve_qp_chain(
+                s1, q1, w1, alpha, c1, l1, u1, st1, cfg, mask=m1,
+                horizon=h))(s, w, q, c, lb, ub, states, mask)
+        qp_mod._make_fused_chain_solver.cache_clear()
+        assert calls.get("hit"), "vmapped solve_qp_chain skipped the kernel"
+        from rl_mpc_locomotion_tpu.ops.srb_dynamics import hessian_from_chain
+        p = jax.vmap(lambda ss, ww: hessian_from_chain(ss, ww, alpha))(s, w)
+        want = xla_reference(p, q, c, lb, ub, mask, x, z, y, rm)
+        check_close((xs, new_state.z, new_state.y, new_state.rho_mult,
+                     diag["primal_violation"]), want)

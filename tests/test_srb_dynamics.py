@@ -206,3 +206,26 @@ class TestConstraints:
         y = rng.normal(size=200).astype(np.float32)
         gt = np.asarray(srb.apply_constraint_t(jnp.array(y), mu))
         np.testing.assert_allclose(gt, dense.T @ y, atol=1e-5)
+
+
+class TestChainCondensation:
+    def test_condense_cost_equals_dense_path(self):
+        """The chain-form (P, q) (condense_chain + hessian/gradient_
+        from_chain — the production path feeding the fused kernel) must
+        equal condense() + build_qp_cost() to f32 precision."""
+        import numpy as np
+        rng = np.random.RandomState(3)
+        for trial in range(3):
+            a = (jnp.asarray(rng.randn(13, 13).astype(np.float32)) * 0.05
+                 + jnp.eye(13))
+            b = jnp.asarray(rng.randn(13, 12).astype(np.float32)) * 0.1
+            x0 = jnp.asarray(rng.randn(13).astype(np.float32))
+            xd = jnp.asarray(rng.randn(130).astype(np.float32))
+            w = jnp.asarray(np.abs(rng.randn(13)).astype(np.float32))
+            aq, bq = srb.condense(a, b, 10)
+            p1, q1 = srb.build_qp_cost(aq, bq, x0, xd, w, 1e-5, 10)
+            p2, q2 = srb.condense_cost(a, b, x0, xd, w, 1e-5, 10)
+            prel = float(jnp.max(jnp.abs(p1 - p2)) / jnp.max(jnp.abs(p1)))
+            qrel = float(jnp.max(jnp.abs(q1 - q2)) / jnp.max(jnp.abs(q1)))
+            assert prel < 1e-5, prel
+            assert qrel < 1e-5, qrel
