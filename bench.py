@@ -80,54 +80,70 @@ def bench(batch: int = 4096, warmup: int = 2, iters: int = 100,
 
     kk = periods_per_dispatch
 
-    @jax.jit
-    def run_periods(state):
-        def period(state, _):
-            state, _ = tick(state, jnp.bool_(False))
-            state, tau = tick(state, jnp.bool_(True))
-            return state, tau[0, 0]  # tiny carry-out; torques stay on chip
-        state, probe = jax.lax.scan(period, state, None, length=kk)
-        return state, probe
+    def make_run(k):
+        @jax.jit
+        def run(state):
+            def period(state, _):
+                state, _ = tick(state, jnp.bool_(False))
+                state, tau = tick(state, jnp.bool_(True))
+                return state, tau[0, 0]  # tiny carry-out; rest stays on chip
+            state, probe = jax.lax.scan(period, state, None, length=k)
+            return state, probe
+        return run
+
+    run_short, run_long = make_run(kk), make_run(4 * kk)
+
+    def sync(v):
+        """Force completion via a host fetch of one scalar.
+
+        jax.block_until_ready alone is NOT a reliable completion barrier
+        on the axon relay: at batch 8192 it returned in ~15 us for a
+        10-period dispatch (559M solves/s — physically impossible), and
+        the timing-sanity history (scripts/profile.py) shows the same for
+        other large executables. A scalar device->host fetch cannot
+        complete before the producing computation has."""
+        return float(jax.device_get(v.reshape(-1)[-1]))
 
     # align counters so the gated tick is the solve tick; also compiles
     state, _ = two_ticks(state)
     for _ in range(warmup):
-        state, probe = run_periods(state)
-    jax.block_until_ready(probe)
+        state, probe = run_short(state)
+        sync(probe)
+        state, probe = run_long(state)
+        sync(probe)
 
-    # Tail-latency accounting: each timed sample is one DISPATCH of kk
-    # scanned periods, so a sample is the MEAN of kk consecutive periods —
-    # per-period spikes shorter than a dispatch are averaged by kk (JAX has
-    # no in-graph device clock to stamp individual scan steps; a kk=1 host
-    # loop would instead fold the ~30 ms axon-tunnel round trip into every
-    # sample). The keys say what is measured: dispatch_mean_* are
-    # percentiles over ``iters`` dispatch means. 100 dispatches x kk=10
-    # periods = 1000 periods observed.
-    periods = []
-    t_all = time.perf_counter()
+    # Paired-slope timing: each sample times a kk-period dispatch and a
+    # 4kk-period dispatch back to back and takes the slope
+    # (t_long - t_short) / 3kk. The tunnel round-trip (~30 ms on axon) and
+    # dispatch overhead appear in BOTH terms and cancel, so the sample is
+    # pure chip time — matching production, where the control loop runs
+    # on-device under lax.scan with no per-period host sync. Each sample
+    # still averages 3kk consecutive periods (JAX has no in-graph clock to
+    # stamp individual scan steps), so the p99 is a tail over 30-period
+    # means; per-period spikes shorter than that are averaged down — the
+    # key names say so.
+    samples = []
+    t_short_ms = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        state, probe = run_periods(state)
-        jax.block_until_ready(probe)
-        periods.append((time.perf_counter() - t0) / kk)
-    dt = time.perf_counter() - t_all
-
-    # single-dispatch host-loop latency (includes tunnel round-trip);
-    # median of 5 — a single sample is dominated by one tunnel RTT draw
-    host_samples = []
-    for _ in range(5):
+        state, probe = run_short(state)
+        sync(probe)
+        t_s = time.perf_counter() - t0
         t0 = time.perf_counter()
-        state, tau = two_ticks(state)
-        jax.block_until_ready(tau)
-        host_samples.append((time.perf_counter() - t0) * 1000.0)
-    host_dispatch_ms = sorted(host_samples)[len(host_samples) // 2]
+        state, probe = run_long(state)
+        sync(probe)
+        t_l = time.perf_counter() - t0
+        samples.append((t_l - t_s) / (3 * kk))
+        t_short_ms.append(t_s * 1000.0)
 
-    n = len(periods)
-    solves = batch * n * kk  # one QP solve per robot per MPC period
-    solves_per_s = solves / dt
-    period_ms = dt / (n * kk) * 1000.0
-    periods_ms = sorted(p * 1000.0 for p in periods)
-    p99_ms = periods_ms[min(n - 1, int(0.99 * n))]
+    n = len(samples)
+    samples_ms = sorted(s * 1000.0 for s in samples)
+    period_ms = sum(samples_ms) / n
+    p99_ms = samples_ms[min(n - 1, int(0.99 * n))]
+    p50_ms = samples_ms[n // 2]
+    solves_per_s = batch / (period_ms / 1000.0)
+    # tunnel round-trip estimate: short-dispatch wall minus its chip time
+    rtt_ms = sorted(t_short_ms)[len(t_short_ms) // 2] - kk * period_ms
     return {
         "metric": "mpc_solves_per_s",
         "value": round(solves_per_s, 1),
@@ -136,19 +152,20 @@ def bench(batch: int = 4096, warmup: int = 2, iters: int = 100,
         "detail": {
             "batch": batch,
             "mpc_period_ms": round(period_ms, 3),
-            "dispatch_mean_p99_ms": round(p99_ms, 3),
-            "dispatch_mean_p50_ms": round(periods_ms[n // 2], 3),
-            "dispatches": n,
-            "periods_per_dispatch": kk,
-            "host_dispatch_ms": round(host_dispatch_ms, 3),
-            "control_ticks_per_s": round(2 * solves / dt, 1),
+            "period_slope_p99_ms": round(p99_ms, 3),
+            "period_slope_p50_ms": round(p50_ms, 3),
+            "slope_samples": n,
+            "periods_per_sample": 3 * kk,
+            "tunnel_rtt_ms": round(rtt_ms, 3),
+            "control_ticks_per_s": round(2 * solves_per_s, 1),
             "realtime_budget_ms": 20.0,
             "qp_iters": qp_cfg.iters + qp_cfg.iters2,
         },
     }
 
 
-def sweep(batches=(512, 1024, 2048, 4096, 8192), iters: int = 50) -> list:
+def sweep(batches=(512, 1024, 2048, 2560, 3072, 4096, 8192),
+          iters: int = 50) -> list:
     """Latency-vs-batch sweep: finds the largest real-time-feasible batch
     (p99 dispatch-mean period within the 20 ms budget). Each batch is a
     fresh compile, so this is run on demand (bench.py --sweep), not by the
@@ -158,9 +175,9 @@ def sweep(batches=(512, 1024, 2048, 4096, 8192), iters: int = 50) -> list:
         r = bench(batch=b, iters=iters)
         d = r["detail"]
         rows.append({"batch": b, "period_ms": d["mpc_period_ms"],
-                     "p99_ms": d["dispatch_mean_p99_ms"],
+                     "p99_ms": d["period_slope_p99_ms"],
                      "solves_per_s": r["value"],
-                     "realtime": d["dispatch_mean_p99_ms"] <= 20.0})
+                     "realtime": d["period_slope_p99_ms"] <= 20.0})
         print(json.dumps(rows[-1]))
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "SWEEP.json")

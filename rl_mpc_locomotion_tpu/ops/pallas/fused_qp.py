@@ -251,35 +251,29 @@ def _fused_kernel_chain(iters, sigma, relax, rho_base, rho_eq_scale,
     ej = jax.lax.broadcasted_iota(jnp.int32, (blk, blk, 1), 1)
     eye_blk = (ei == ej).astype(jnp.float32)
 
-    # ---- strict-lower blocks: reads on upper diag d, writes strictly
-    # below them (no aliasing) ----
-    for d in range(1, h):
+    # ---- suffix transform, one diagonal at a time: buffer every read of
+    # diagonal d, then write the lower block AND its transposed mirror
+    # (which lands back on diagonal d — hence the buffering; later
+    # diagonals d' > d are never touched by these writes) ----
+    def bs(i):
+        return pl.ds(blk * i, blk)
+
+    for d in range(h):
         acc = None
+        accs = []
         for j in range(h - d):
-            m_blk = kbuf[blk * j:blk * (j + 1),
-                         blk * (j + d):blk * (j + d + 1), :]
+            m_blk = kbuf[bs(j), bs(j + d), :]
             acc = m_blk if acc is None else acc + m_blk
+            accs.append(acc)
+        for j in range(h - d):
             a_b = h - 1 - j
-            kbuf[blk * a_b:blk * (a_b + 1),
-                 blk * (a_b - d):blk * (a_b - d + 1), :] = 2.0 * acc
-    # ---- main diagonal: buffer all reads before writing (aliasing) ----
-    acc = None
-    vals = []
-    for j in range(h):
-        m_blk = kbuf[blk * j:blk * (j + 1), blk * j:blk * (j + 1), :]
-        acc = m_blk if acc is None else acc + m_blk
-        vals.append(acc)
-    for j in range(h):
-        a_b = h - 1 - j
-        kbuf[blk * a_b:blk * (a_b + 1), blk * a_b:blk * (a_b + 1), :] = (
-            2.0 * vals[j] + alpha * eye_blk)
-    # ---- strict-upper blocks: transpose of the (final) lower ----
-    for a_b in range(h):
-        for b_b in range(a_b + 1, h):
-            low = kbuf[blk * b_b:blk * (b_b + 1),
-                       blk * a_b:blk * (a_b + 1), :]
-            kbuf[blk * a_b:blk * (a_b + 1),
-                 blk * b_b:blk * (b_b + 1), :] = jnp.swapaxes(low, 0, 1)
+            b_b = a_b - d
+            v = 2.0 * accs[j]
+            if d == 0:
+                kbuf[bs(a_b), bs(a_b), :] = v + alpha * eye_blk
+            else:
+                kbuf[bs(a_b), bs(b_b), :] = v
+                kbuf[bs(b_b), bs(a_b), :] = jnp.swapaxes(v, 0, 1)
 
     _solve_phases(iters, sigma, relax, rho_base, rho_eq_scale, ruiz_iters,
                   deferred_rho, q_ref, c_ref, l_ref, u_ref, rm_ref,
