@@ -35,6 +35,22 @@ from rl_mpc_locomotion_tpu.ops.qp import QPConfig, production_qp_config
 
 BASELINE_SOLVES_PER_S = 1000.0  # reference: ~1 ms/solve qpOASES, 1 core
 
+# ---- physical sanity floor ------------------------------------------------
+# One ADMM iteration per robot touches at least the P matvec (n^2 MACs) and
+# the A / A^T products (2*m*n MACs): 2*(120^2 + 2*200*120) ~ 125 kFLOP.
+# Dividing by an above-peak 2e14 FLOP/s (v5e bf16 peak ~197 TFLOP/s; the
+# solver runs f32, peak ~half that) gives a period floor NO real measurement
+# can beat. The broken-barrier failure mode this guards against reports
+# periods ~1000x below it (e.g. 0.015 ms at batch 8192, the stale r3
+# SWEEP.json row), so the margin is enormous in both directions.
+_FLOPS_PER_QP_ITER = 2 * (120 * 120 + 2 * 200 * 120)
+_ABOVE_PEAK_FLOPS = 2.0e14
+
+
+def physical_floor_ms(batch: int, qp_iters: int) -> float:
+    """Lower bound on one MPC period (ms) on any current TPU chip."""
+    return batch * qp_iters * _FLOPS_PER_QP_ITER / _ABOVE_PEAK_FLOPS * 1e3
+
 
 def bench(batch: int = 4096, warmup: int = 2, iters: int = 100,
           periods_per_dispatch: int = 10,
@@ -124,6 +140,7 @@ def bench(batch: int = 4096, warmup: int = 2, iters: int = 100,
     # key names say so.
     samples = []
     t_short_ms = []
+    rejected = 0
     for _ in range(iters):
         t0 = time.perf_counter()
         state, probe = run_short(state)
@@ -133,8 +150,20 @@ def bench(batch: int = 4096, warmup: int = 2, iters: int = 100,
         state, probe = run_long(state)
         sync(probe)
         t_l = time.perf_counter() - t0
+        # sanity: the long dispatch runs 4x the periods of the short one.
+        # t_long <= t_short means a completion barrier failed (the r3
+        # broken-barrier signature) or the host clock jumped — either way
+        # the sample is garbage, not data.
+        if t_l <= t_s:
+            rejected += 1
+            continue
         samples.append((t_l - t_s) / (3 * kk))
         t_short_ms.append(t_s * 1000.0)
+    if rejected > iters // 2:
+        raise RuntimeError(
+            f"bench: {rejected}/{iters} samples had long-dispatch <= "
+            "short-dispatch — the completion barrier is not working on "
+            "this backend; refusing to report a number")
 
     n = len(samples)
     samples_ms = sorted(s * 1000.0 for s in samples)
@@ -142,6 +171,14 @@ def bench(batch: int = 4096, warmup: int = 2, iters: int = 100,
     p99_ms = samples_ms[min(n - 1, int(0.99 * n))]
     p50_ms = samples_ms[n // 2]
     solves_per_s = batch / (period_ms / 1000.0)
+    qp_iters = qp_cfg.iters + qp_cfg.iters2
+    floor_ms = physical_floor_ms(batch, qp_iters)
+    if period_ms < floor_ms:
+        raise RuntimeError(
+            f"bench: measured period {period_ms:.4f} ms is below the "
+            f"physical floor {floor_ms:.4f} ms for batch {batch} at "
+            f"{qp_iters} QP iters — the measurement is impossible "
+            "(broken completion barrier); refusing to report it")
     # tunnel round-trip estimate: short-dispatch wall minus its chip time
     rtt_ms = sorted(t_short_ms)[len(t_short_ms) // 2] - kk * period_ms
     return {
@@ -159,31 +196,57 @@ def bench(batch: int = 4096, warmup: int = 2, iters: int = 100,
             "tunnel_rtt_ms": round(rtt_ms, 3),
             "control_ticks_per_s": round(2 * solves_per_s, 1),
             "realtime_budget_ms": 20.0,
-            "qp_iters": qp_cfg.iters + qp_cfg.iters2,
+            "qp_iters": qp_iters,
+            "physical_floor_ms": round(floor_ms, 4),
+            "rejected_samples": rejected,
         },
     }
 
 
 def sweep(batches=(512, 1024, 2048, 2560, 3072, 4096, 8192),
-          iters: int = 50) -> list:
+          iters: int = 50) -> dict:
     """Latency-vs-batch sweep: finds the largest real-time-feasible batch
     (p99 dispatch-mean period within the 20 ms budget). Each batch is a
     fresh compile, so this is run on demand (bench.py --sweep), not by the
-    driver. Writes SWEEP.json at the repo root."""
-    rows = []
+    driver. Writes SWEEP.json at the repo root.
+
+    Every row passes bench()'s per-sample slope rejection and the
+    physical-floor assertion, so an impossible row (the stale r3 SWEEP's
+    0.015 ms batch-8192 entry) can no longer be written — bench() raises
+    instead and the failed batch is recorded under "failed"."""
+    rows, failed = [], []
     for b in batches:
-        r = bench(batch=b, iters=iters)
+        try:
+            r = bench(batch=b, iters=iters)
+        except RuntimeError as e:
+            failed.append({"batch": b, "error": str(e)})
+            print(json.dumps(failed[-1]))
+            continue
         d = r["detail"]
         rows.append({"batch": b, "period_ms": d["mpc_period_ms"],
+                     "p50_ms": d["period_slope_p50_ms"],
                      "p99_ms": d["period_slope_p99_ms"],
                      "solves_per_s": r["value"],
+                     "physical_floor_ms": d["physical_floor_ms"],
+                     "rejected_samples": d["rejected_samples"],
                      "realtime": d["period_slope_p99_ms"] <= 20.0})
         print(json.dumps(rows[-1]))
+    rt = [r["batch"] for r in rows if r["realtime"]]
+    result = {
+        "methodology": "paired-slope (RTT-immune), scalar-fetch barrier, "
+                       "per-sample slope rejection + physical-floor guard",
+        "realtime_budget_ms": 20.0,
+        "largest_realtime_batch": max(rt) if rt else None,
+        "rows": rows,
+        "failed": failed,
+    }
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "SWEEP.json")
     with open(out, "w") as f:
-        json.dump(rows, f, indent=1)
-    return rows
+        json.dump(result, f, indent=1)
+    print(json.dumps({"largest_realtime_batch": result[
+        "largest_realtime_batch"]}))
+    return result
 
 
 if __name__ == "__main__":

@@ -223,6 +223,10 @@ def cmd_train(args):
     from .rl.ppo import PPOConfig
     from .sim.env import EnvConfig
 
+    from .utils.seeding import set_seed
+    set_seed(args.seed)  # host-side RNGs (python/numpy); device randomness
+    # flows from PRNGKey(cfg.seed) inside train()
+
     if args.robots:
         # heterogeneous batch: cycle the listed robots over the envs
         # (stacked per-env RobotParams, SURVEY §7)
@@ -245,7 +249,12 @@ def cmd_train(args):
         max_iterations=args.max_iterations or 5000,
         seed=args.seed,
         ppo=PPOConfig(),
-        env=EnvConfig(control=ControlConfig(qp=qp), dr=dr),
+        # non-flat terrain activates the slope-aware MPC path (plane-fit
+        # ground normal), matching the reference's DEFAULT training
+        # condition Parameters.flat_ground=False (Parameters.py:22,
+        # tasks/aliengo.py:135-143)
+        env=EnvConfig(control=ControlConfig(
+            qp=qp, flat_ground=(args.terrain == "flat")), dr=dr),
     )
     if args.config:
         # YAML overlay (cfg/*.yaml) + dotted-key CLI overrides, the Hydra
@@ -305,7 +314,8 @@ def cmd_eval(args):
     if args.dr:
         from .sim.randomize import DomainRandomization
         dr = DomainRandomization()
-    cfg = EnvConfig(control=ControlConfig(qp=qp), dr=dr)
+    cfg = EnvConfig(control=ControlConfig(
+        qp=qp, flat_ground=(args.terrain == "flat")), dr=dr)
     ter = _make_terrain(args.terrain)
     policy = WeightPolicy(checkpoint=args.checkpoint)
     sweep = None
@@ -362,7 +372,10 @@ def main(argv=None):
                     help="PPO iterations (default 5000; YAML/--override win "
                          "when this flag is omitted)")
     pt.add_argument("--seed", type=int, default=1)
-    pt.add_argument("--terrain", default="flat", choices=TERRAINS)
+    # default = rough: the reference trains on random-uniform terrain with
+    # the slope-aware MPC path active (Parameters.flat_ground=False,
+    # RL_Environment/tasks/aliengo.py:135-143)
+    pt.add_argument("--terrain", default="rough", choices=TERRAINS)
     pt.add_argument("--dr", action="store_true",
                     help="enable domain randomization (per-env friction/"
                          "mass/damping/contact-stiffness draws)")

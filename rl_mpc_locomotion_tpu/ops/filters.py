@@ -58,3 +58,17 @@ def moving_window_update(state: MovingWindowState, value):
     )
     avg = (total + corr) / count.astype(jnp.float32)
     return new_state, avg
+
+
+def smooth(values, window: int):
+    """Filter a whole trace: (T, ...) samples -> (T, ...) moving averages.
+
+    The offline batch form of the filter — used for the velocity/height
+    smoothing the reference declared the filter for (StateEstimator.py:32-33)
+    when plotting telemetry (scripts/plot_telemetry.py)."""
+    import jax
+
+    values = jnp.asarray(values, jnp.float32)
+    state = init_moving_window(window, values.shape[1:])
+    _, out = jax.lax.scan(moving_window_update, state, values)
+    return out

@@ -332,7 +332,7 @@ def fused_solve_chain_batch(s_chain, weights, q_vec, c_blocks, lb, ub, mask,
         kernel,
         grid=grid,
         in_specs=[
-            s_spec, vec_spec(13),
+            s_spec, vec_spec(s_chain.shape[2]),
             vec_spec(n), c_spec, vec_spec(m), vec_spec(m), vec_spec(1),
             vec_spec(n), vec_spec(n), vec_spec(m), vec_spec(m),
         ],

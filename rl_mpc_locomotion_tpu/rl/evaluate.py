@@ -81,7 +81,10 @@ def evaluate(params: RobotParams, cfg, ter: terrain_mod.Terrain,
         def body(carry, t):
             state, obs, fell = carry
             state, obs, rew, done, info = step_batch(state, obs, t)
-            fell = fell | done
+            # only true falls count against survival — episode-length
+            # timeouts (progress > episode_length) are successes, so an
+            # eval longer than the episode length stays meaningful
+            fell = fell | info["fall"]
             # command pinning must survive auto-resets (fresh resets draw
             # random commands)
             if commands is not None:
@@ -92,14 +95,14 @@ def evaluate(params: RobotParams, cfg, ter: terrain_mod.Terrain,
             v_b = jnp.einsum("bij,bj->bi", r_bw, state.phys.v)
             verr = jnp.linalg.norm(v_b[:, :2] - state.commands[:, :2],
                                    axis=-1)
-            return (state, obs, fell), (rew, done, verr)
+            return (state, obs, fell), (rew, info["fall"], verr)
 
         fell0 = jnp.zeros(num_envs, bool)
-        (state, obs, fell), (rews, dones, verrs) = jax.lax.scan(
+        (state, obs, fell), (rews, falls, verrs) = jax.lax.scan(
             body, (state, obs, fell0), jnp.arange(num_steps))
         return {
             "reward_per_step": jnp.mean(rews),
-            "falls": jnp.sum(dones),
+            "falls": jnp.sum(falls),
             "survival_rate": 1.0 - jnp.mean(fell.astype(jnp.float32)),
             "lin_vel_err": jnp.mean(verrs),
         }

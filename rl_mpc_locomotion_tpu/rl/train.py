@@ -144,7 +144,7 @@ def resume_train_state(resume_from: str, train_state, log_fn=print):
 
     Directory without a model_<i> basename -> latest-checkpoint discovery,
     the reference's get_load_path flow (train.py:63-72,
-    rsl_rl_utils.py:49-74). Returns (train_state, start_iteration)."""
+    rsl_rl_utils.py:49-74). Returns (train_state, start_iteration, path)."""
     from ..utils.checkpoint import latest_checkpoint, restore_checkpoint
 
     path = resume_from
@@ -158,7 +158,7 @@ def resume_train_state(resume_from: str, train_state, log_fn=print):
     train_state = restore_checkpoint(path, train_state)
     start_it = int(os.path.basename(path).split("_")[1])
     log_fn(f"[train] resumed from {path} (iteration {start_it})")
-    return train_state, start_it
+    return train_state, start_it, path
 
 
 def train(params: RobotParams, cfg: TrainConfig,
@@ -183,17 +183,31 @@ def train(params: RobotParams, cfg: TrainConfig,
     train_state = ppo.init_train_state(init_key, model, env_mod.NUM_OBS,
                                        cfg.ppo)
     start_it = 0
+    resume_path = None
     if resume_from:
-        train_state, start_it = resume_train_state(resume_from, train_state,
-                                                   log_fn)
+        train_state, start_it, resume_path = resume_train_state(
+            resume_from, train_state, log_fn)
     step_fn, reset_batch = make_train_step(params, cfg, ter, model, mesh)
     env_state, obs = reset_batch(env_key)
+    tick = jnp.int32(0)
+    if resume_path is not None:
+        # true continuation: episodes keep progress/commands/DR draws/RNG
+        # streams across the restart (SURVEY §5 checkpoint row). Missing
+        # sibling (pre-env-snapshot checkpoint) -> fresh episodes, as before.
+        from ..utils.checkpoint import restore_env_snapshot
+        snap = restore_env_snapshot(resume_path, {
+            "env": env_state, "obs": obs, "tick": tick})
+        if snap is not None:
+            env_state, obs = snap["env"], snap["obs"]
+            tick = jnp.asarray(snap["tick"], jnp.int32)
+            log_fn(f"[train] env state restored (tick {int(tick)})")
+        else:
+            log_fn("[train] no env snapshot in checkpoint — episodes reset")
     if mesh is not None:
         shard = NamedSharding(mesh, P(ENV_AXIS))
         env_state = jax.tree.map(lambda x: jax.device_put(x, shard), env_state)
         obs = jax.device_put(obs, shard)
 
-    tick = jnp.int32(0)
     iters = max_iterations or cfg.max_iterations
     history = []
     writer = None
@@ -220,7 +234,9 @@ def train(params: RobotParams, cfg: TrainConfig,
                        f"sps={m['steps_per_s']:.0f}")
             if checkpoint_dir and (it + 1) % cfg.save_interval == 0:
                 from ..utils.checkpoint import save_checkpoint
-                save_checkpoint(checkpoint_dir, it + 1, train_state)
+                save_checkpoint(checkpoint_dir, it + 1, train_state,
+                                env_snapshot={"env": env_state, "obs": obs,
+                                              "tick": tick})
     finally:
         if writer is not None:
             writer.close()

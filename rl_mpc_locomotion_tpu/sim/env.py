@@ -171,9 +171,9 @@ def _reward_and_reset(params: RobotParams, cfg: EnvConfig, state: EnvState,
            + jnp.sum(knee_contact) * (cfg.rew_collision * dt))
     rew = jnp.maximum(rew, 0.0)
 
-    reset = base_contact | jnp.any(knee_contact)
+    fall = base_contact | jnp.any(knee_contact)
     timeout = state.progress > cfg.episode_length
-    return rew, reset | timeout
+    return rew, fall, timeout
 
 
 def step(params: RobotParams, cfg: EnvConfig, ter: terrain_mod.Terrain,
@@ -230,8 +230,8 @@ def step(params: RobotParams, cfg: EnvConfig, ter: terrain_mod.Terrain,
                             fresh_rand, state.rand)
         state = state._replace(rand=rand, rng=rng)
 
-    rew, done = _reward_and_reset(params, cfg, state, knee_contact,
-                                  base_contact)
+    rew, fall, timeout = _reward_and_reset(params, cfg, state, knee_contact,
+                                           base_contact)
 
     # NaN containment: a physics blowup (rare under aggressive DR draws +
     # penalty contacts) must stay confined to its env — force a reset and
@@ -247,7 +247,8 @@ def step(params: RobotParams, cfg: EnvConfig, ter: terrain_mod.Terrain,
         jnp.all(jnp.isfinite(state.phys.qd)),
     ]))
     rew = jnp.where(finite, rew, 0.0)
-    done = done | jnp.logical_not(finite)
+    fall = fall | jnp.logical_not(finite)
+    done = fall | timeout
 
     # auto-reset (masked; rng split keeps streams independent)
     rng, rkey = jax.random.split(state.rng)
@@ -256,6 +257,10 @@ def step(params: RobotParams, cfg: EnvConfig, ter: terrain_mod.Terrain,
     state = jax.tree.map(lambda f, s: jnp.where(done, f, s), fresh, state)
 
     obs = observations(params, cfg, state)
+    # fall vs timeout are distinct terminations: eval survival must count
+    # only true falls (an episode-length timeout in a >20 s eval is success,
+    # not failure — see rl/evaluate.evaluate).
     info = {"torques": torques, "foot_contact": foot_contact,
-            "f_ff": ctrl_metrics["f_ff"], "com_z": ctrl_metrics["com_z"]}
+            "f_ff": ctrl_metrics["f_ff"], "com_z": ctrl_metrics["com_z"],
+            "fall": fall, "timeout": timeout}
     return state, obs, rew, done, info

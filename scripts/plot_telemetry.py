@@ -26,6 +26,14 @@ from rl_mpc_locomotion_tpu.utils.metrics import (MPC_FRAME_SIZE,  # noqa: E402
                                                  unpack_mpc_frames)
 
 
+def _smooth(trace, window: int = 20):
+    """Neumaier moving-average smoothing (the reference declares its
+    MovingWindowFilter for exactly this velocity smoothing,
+    StateEstimator.py:32-33)."""
+    from rl_mpc_locomotion_tpu.ops.filters import smooth
+    return np.asarray(smooth(np.asarray(trace, np.float32), window))
+
+
 def load_frames(path: str) -> dict:
     if path.endswith(".npz"):
         with np.load(path) as z:
@@ -69,7 +77,8 @@ def plot_generic(d: dict, out: str) -> int:
     ax.legend()
 
     ax = axes[1, 0]
-    ax.plot(tick, d["vx"], label="vx")
+    ax.plot(tick, d["vx"], label="vx", alpha=0.4)
+    ax.plot(tick, _smooth(d["vx"]), label="vx (filtered)", lw=2)
     ax.plot(tick, d["x"], label="x")
     ax.set_title("forward progress")
     ax.set_xlabel("control tick")
@@ -128,9 +137,10 @@ def main(argv):
     ax.legend()
 
     ax = axes[1, 0]
-    ax.plot(tick, com[:, 9], label="vx")
+    ax.plot(tick, com[:, 9], label="vx", alpha=0.4)
+    ax.plot(tick, _smooth(com[:, 9]), label="vx (filtered)", lw=2)
     ax.plot(tick, des[:, 9], "--", label="vx desired")
-    ax.plot(tick, com[:, 10], label="vy")
+    ax.plot(tick, com[:, 10], label="vy", alpha=0.4)
     ax.plot(tick, des[:, 10], "--", label="vy desired")
     ax.set_title("velocity tracking")
     ax.set_xlabel("control tick")
