@@ -249,10 +249,110 @@ def sweep(batches=(512, 1024, 2048, 2560, 3072, 4096, 8192),
     return result
 
 
+def bench_train(num_envs: int = 512, warmup: int = 2, iters: int = 10,
+                terrain: str = "rough", dr: bool = True) -> dict:
+    """Training-throughput benchmark: env-steps/s and ms per PPO iteration
+    (rollout of 24 steps over ``num_envs`` envs + update) on one chip.
+
+    This is the number multi-chip scaling exists for. Calibration: the
+    reference trains 512 Isaac envs on one GPU (docs/2-development_log.md:
+    116) at unreported throughput; its per-env serial CPU controller loop
+    (tasks/aliengo.py:252-256) was the bottleneck by design.
+
+    Timing: each PPO iteration is a single large dispatch (~0.5-2 s), so
+    the ~36 ms tunnel RTT is <5% here; a scalar fetch of the iteration's
+    mean reward is the completion barrier (same rationale as bench()).
+    """
+    from rl_mpc_locomotion_tpu.rl import train as train_mod
+    from rl_mpc_locomotion_tpu.rl.ppo import PPOConfig
+    from rl_mpc_locomotion_tpu.sim import terrain as terrain_mod
+    from rl_mpc_locomotion_tpu.sim.env import EnvConfig
+    from rl_mpc_locomotion_tpu.models.actor_critic import ActorCritic
+    from rl_mpc_locomotion_tpu.rl import ppo as ppo_mod
+    from rl_mpc_locomotion_tpu.sim import env as env_mod
+    from rl_mpc_locomotion_tpu.sim.randomize import DomainRandomization
+
+    params = robots.aliengo_params()
+    qp = production_qp_config()._replace(
+        use_pallas=jax.default_backend() == "tpu")
+    cfg = train_mod.TrainConfig(
+        num_envs=num_envs, seed=0, ppo=PPOConfig(),
+        env=EnvConfig(control=ControlConfig(
+            qp=qp, flat_ground=(terrain == "flat")),
+            dr=DomainRandomization() if dr else None))
+    ter = {"flat": terrain_mod.flat, "rough": terrain_mod.random_uniform}[
+        terrain]()
+    model = ActorCritic(num_actions=env_mod.NUM_ACTIONS)
+    rng = jax.random.PRNGKey(0)
+    rng, init_key, env_key = jax.random.split(rng, 3)
+    train_state = ppo_mod.init_train_state(init_key, model, env_mod.NUM_OBS,
+                                           cfg.ppo)
+    step_fn, reset_batch = train_mod.make_train_step(params, cfg, ter, model)
+    env_state, obs = reset_batch(env_key)
+    tick = jnp.int32(0)
+
+    def sync(metrics):
+        return float(jax.device_get(metrics["mean_reward"]))
+
+    for _ in range(warmup):
+        train_state, env_state, obs, tick, metrics = step_fn(
+            train_state, env_state, obs, tick)
+        sync(metrics)
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        train_state, env_state, obs, tick, metrics = step_fn(
+            train_state, env_state, obs, tick)
+        sync(metrics)
+        times.append(time.perf_counter() - t0)
+    times_ms = sorted(t * 1000.0 for t in times)
+    it_ms = sum(times_ms) / len(times_ms)
+    steps_per_iter = cfg.ppo.num_steps * num_envs
+    return {
+        "metric": "train_env_steps_per_s",
+        "value": round(steps_per_iter / (it_ms / 1000.0), 1),
+        "unit": "env-steps/s/chip",
+        "detail": {
+            "num_envs": num_envs,
+            "ppo_iteration_ms": round(it_ms, 1),
+            "ppo_iteration_p99_ms": round(
+                times_ms[min(len(times_ms) - 1,
+                             int(0.99 * len(times_ms)))], 1),
+            "rollout_steps": cfg.ppo.num_steps,
+            "terrain": terrain,
+            "dr": dr,
+            "iters_timed": iters,
+        },
+    }
+
+
+def train_sweep(env_counts=(512, 2048, 4096), iters: int = 10) -> dict:
+    """Writes TRAINBENCH.json: train throughput vs env count, one chip."""
+    rows = []
+    for n in env_counts:
+        r = bench_train(num_envs=n, iters=iters)
+        rows.append({"num_envs": n, "env_steps_per_s": r["value"],
+                     "ppo_iteration_ms": r["detail"]["ppo_iteration_ms"],
+                     "ppo_iteration_p99_ms": r["detail"][
+                         "ppo_iteration_p99_ms"]})
+        print(json.dumps(rows[-1]))
+    result = {"terrain": "rough", "dr": True,
+              "rollout_steps": 24, "rows": rows}
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "TRAINBENCH.json")
+    with open(out, "w") as f:
+        json.dump(result, f, indent=1)
+    return result
+
+
 if __name__ == "__main__":
     import sys
     if "--sweep" in sys.argv:
         sweep()
+    elif "--train-sweep" in sys.argv:
+        train_sweep()
+    elif "--train" in sys.argv:
+        print(json.dumps(bench_train()))
     else:
         result = bench()
         print(json.dumps(result))

@@ -263,6 +263,12 @@ def cmd_train(args):
         overrides = dict(kv.split("=", 1) for kv in args.override)
         overrides = {k: yaml_scalar(v) for k, v in overrides.items()}
         cfg = load_config(cfg, args.config, overrides)
+        if isinstance(cfg.env.dr, dict):
+            # YAML spec-dict -> DomainRandomization (generic DR engine)
+            import dataclasses as _dc
+            from .sim.randomize import from_dict
+            cfg = _dc.replace(cfg, env=_dc.replace(
+                cfg.env, dr=from_dict(cfg.env.dr)))
     elif args.override:
         from .utils.config import apply_overrides
         cfg = apply_overrides(

@@ -226,6 +226,8 @@ def _step_impl(params: RobotParams, cfg: ControlConfig, loco: LocomotionState,
         _, qp_state = operand
         return loco.f_ff, qp_state, {
             "primal_violation": jnp.float32(0.0),
+            "pri_res": jnp.float32(0.0),
+            "dua_res": jnp.float32(0.0),
             "mpc_loss": jnp.float32(0.0)}
 
     f_ff, qp_state, qp_diag = jax.lax.cond(
@@ -295,6 +297,10 @@ def _step_impl(params: RobotParams, cfg: ControlConfig, loco: LocomotionState,
         "com_z": est.com_z,
         "qp_primal_violation": qp_diag["primal_violation"],
         "qp_diverged": diverged,
+        # per-solve OSQP relative residuals (0 on non-solve ticks) — the
+        # convergence-margin telemetry for the fixed 40-iteration budget
+        "qp_pri_res": qp_diag["pri_res"],
+        "qp_dua_res": qp_diag["dua_res"],
         "mpc_loss": qp_diag["mpc_loss"],
     }
     return new_loco, est, cmds, metrics

@@ -84,7 +84,7 @@ def _solve_phases(iters: int, sigma: float, relax: float, rho_base: float,
                   rho_eq_scale: float, ruiz_iters: int, deferred_rho: bool,
                   q_ref, c_ref, l_ref, u_ref, rm_ref, mask_ref,
                   x0_ref, z0_ref, y0_ref,
-                  x_out, z_out, y_out, rm_out, viol_out, kbuf):
+                  x_out, z_out, y_out, rm_out, viol_out, res_out, kbuf):
     """Phases 1-8 (mask -> Ruiz -> K -> GJ -> ADMM -> rho -> unscale) on a
     Hessian already resident in ``kbuf`` — shared by the P-input kernel
     (DMA) and the chain-input kernel (in-VMEM P build)."""
@@ -157,23 +157,27 @@ def _solve_phases(iters: int, sigma: float, relax: float, rho_base: float,
         w5 = w.reshape(nb, 5, 1, tr)
         return jnp.sum(cb * w5, axis=1).reshape(n, tr)
 
-    # ---- 7. deferred adaptive rho (OSQP eq. 20 at x_t) ------------------
+    # ---- 7. residuals (OSQP relative pri/dua, at x_t) + deferred rho ----
+    # The residual pass doubles as per-solve convergence TELEMETRY: pri_rel
+    # / dua_rel per lane are exported (res_out) so training can watch the
+    # iteration-budget margin (VERDICT r3: "40 vs cliff at 38" needs a
+    # residual story, not just a behavioral gate).
+    rhs_f = sigma * x - q_s + ct_apply(cs, rho * z - y)
+    x_t = kinv_apply(rhs_f)
+    cx = c_apply(cs, x_t)
+    px = rhs_f - sigma * x_t - ct_apply(cs, rho * cx)
+
+    def colmax(v):
+        return jnp.max(jnp.abs(v), axis=0, keepdims=True)   # (1,tr)
+
+    pri = colmax(cx - z)
+    pri_rel = pri / jnp.maximum(jnp.maximum(colmax(cx), colmax(z)), 1e-8)
+    cty = ct_apply(cs, y)
+    dua = colmax(px + q_s + cty)
+    dua_rel = dua / jnp.maximum(
+        jnp.maximum(colmax(px), jnp.maximum(colmax(cty), colmax(q_s))),
+        1e-8)
     if deferred_rho:
-        rhs_f = sigma * x - q_s + ct_apply(cs, rho * z - y)
-        x_t = kinv_apply(rhs_f)
-        cx = c_apply(cs, x_t)
-        px = rhs_f - sigma * x_t - ct_apply(cs, rho * cx)
-
-        def colmax(v):
-            return jnp.max(jnp.abs(v), axis=0, keepdims=True)   # (1,tr)
-
-        pri = colmax(cx - z)
-        pri_rel = pri / jnp.maximum(jnp.maximum(colmax(cx), colmax(z)), 1e-8)
-        cty = ct_apply(cs, y)
-        dua = colmax(px + q_s + cty)
-        dua_rel = dua / jnp.maximum(
-            jnp.maximum(colmax(px), jnp.maximum(colmax(cty), colmax(q_s))),
-            1e-8)
         scale = jnp.sqrt(pri_rel / jnp.maximum(dua_rel, 1e-10))
         scale = jnp.clip(scale, 1e-2, 1e2)
         new_rm = jnp.clip(rho_mult * scale, 1e-3, 1e3)
@@ -192,13 +196,15 @@ def _solve_phases(iters: int, sigma: float, relax: float, rho_base: float,
     y_out[:, :] = y_u
     rm_out[:, :] = new_rm
     viol_out[:, :] = viol
+    res_out[0:1, :] = pri_rel
+    res_out[1:2, :] = dua_rel
 
 
 def _fused_kernel(iters, sigma, relax, rho_base, rho_eq_scale, ruiz_iters,
                   deferred_rho,
                   p_hbm, q_ref, c_ref, l_ref, u_ref, rm_ref, mask_ref,
                   x0_ref, z0_ref, y0_ref,
-                  x_out, z_out, y_out, rm_out, viol_out,
+                  x_out, z_out, y_out, rm_out, viol_out, res_out,
                   kbuf, sem):
     """P-input variant: DMA the prebuilt Hessian tile, then solve."""
     tr = admm_kernel.TR
@@ -210,14 +216,14 @@ def _fused_kernel(iters, sigma, relax, rho_base, rho_eq_scale, ruiz_iters,
     _solve_phases(iters, sigma, relax, rho_base, rho_eq_scale, ruiz_iters,
                   deferred_rho, q_ref, c_ref, l_ref, u_ref, rm_ref,
                   mask_ref, x0_ref, z0_ref, y0_ref,
-                  x_out, z_out, y_out, rm_out, viol_out, kbuf)
+                  x_out, z_out, y_out, rm_out, viol_out, res_out, kbuf)
 
 
 def _fused_kernel_chain(iters, sigma, relax, rho_base, rho_eq_scale,
                         ruiz_iters, deferred_rho, alpha, horizon,
                         s_ref, w_ref, q_ref, c_ref, l_ref, u_ref, rm_ref,
                         mask_ref, x0_ref, z0_ref, y0_ref,
-                        x_out, z_out, y_out, rm_out, viol_out,
+                        x_out, z_out, y_out, rm_out, viol_out, res_out,
                         kbuf):
     """Chain-input variant: P = 2 B_qp^T Q B_qp + alpha I is built HERE,
     in VMEM, from the tiny A^k B chain (srb_dynamics.condense_chain) —
@@ -278,7 +284,7 @@ def _fused_kernel_chain(iters, sigma, relax, rho_base, rho_eq_scale,
     _solve_phases(iters, sigma, relax, rho_base, rho_eq_scale, ruiz_iters,
                   deferred_rho, q_ref, c_ref, l_ref, u_ref, rm_ref,
                   mask_ref, x0_ref, z0_ref, y0_ref,
-                  x_out, z_out, y_out, rm_out, viol_out, kbuf)
+                  x_out, z_out, y_out, rm_out, viol_out, res_out, kbuf)
 
 
 def fused_solve_chain_batch(s_chain, weights, q_vec, c_blocks, lb, ub, mask,
@@ -328,7 +334,7 @@ def fused_solve_chain_batch(s_chain, weights, q_vec, c_blocks, lb, ub, mask,
     kernel = functools.partial(_fused_kernel_chain, iters, sigma, relax,
                                rho_base, rho_eq_scale, ruiz_iters,
                                deferred_rho, alpha, h)
-    x_o, z_o, y_o, rm_o, viol_o = pl.pallas_call(
+    x_o, z_o, y_o, rm_o, viol_o, res_o = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -337,13 +343,14 @@ def fused_solve_chain_batch(s_chain, weights, q_vec, c_blocks, lb, ub, mask,
             vec_spec(n), vec_spec(n), vec_spec(m), vec_spec(m),
         ],
         out_specs=(vec_spec(n), vec_spec(m), vec_spec(m), vec_spec(1),
-                   vec_spec(1)),
+                   vec_spec(1), vec_spec(2)),
         out_shape=(
             jax.ShapeDtypeStruct((n, b_pad), jnp.float32),
             jax.ShapeDtypeStruct((m, b_pad), jnp.float32),
             jax.ShapeDtypeStruct((m, b_pad), jnp.float32),
             jax.ShapeDtypeStruct((1, b_pad), jnp.float32),
             jax.ShapeDtypeStruct((1, b_pad), jnp.float32),
+            jax.ShapeDtypeStruct((2, b_pad), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((n, n, tr), jnp.float32),
@@ -359,7 +366,7 @@ def fused_solve_chain_batch(s_chain, weights, q_vec, c_blocks, lb, ub, mask,
 
     back = lambda a: jnp.moveaxis(a, -1, 0)[:b]
     return (back(x_o), back(z_o), back(y_o),
-            back(rm_o).reshape(-1), back(viol_o).reshape(-1))
+            back(rm_o).reshape(-1), back(viol_o).reshape(-1), back(res_o))
 
 
 def fused_solve_batch(p_mat, q_vec, c_blocks, lb, ub, mask, x, z, y,
@@ -371,7 +378,8 @@ def fused_solve_batch(p_mat, q_vec, c_blocks, lb, ub, mask, x, z, y,
     Args are batch-major and *raw* (unmasked, unscaled): p_mat (B,N,N),
     q_vec (B,N), c_blocks (B,NB,5,3), lb/ub (B,M), mask (B,N) in {0,1},
     warm start x (B,N), z/y (B,M), rho_mult (B,).
-    Returns (x, z, y, rho_mult, viol) batch-major / (B,).
+    Returns (x, z, y, rho_mult, viol, res) batch-major / (B,) / res (B,2)
+    = per-lane (pri_rel, dua_rel) scaled relative residuals.
     """
     n, m, nb, tr = (admm_kernel.N, admm_kernel.M, admm_kernel.NB,
                     admm_kernel.TR)
@@ -411,7 +419,7 @@ def fused_solve_batch(p_mat, q_vec, c_blocks, lb, ub, mask, x, z, y,
 
     kernel = functools.partial(_fused_kernel, iters, sigma, relax, rho_base,
                                rho_eq_scale, ruiz_iters, deferred_rho)
-    x_o, z_o, y_o, rm_o, viol_o = pl.pallas_call(
+    x_o, z_o, y_o, rm_o, viol_o, res_o = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -420,13 +428,14 @@ def fused_solve_batch(p_mat, q_vec, c_blocks, lb, ub, mask, x, z, y,
             vec_spec(n), vec_spec(n), vec_spec(m), vec_spec(m),
         ],
         out_specs=(vec_spec(n), vec_spec(m), vec_spec(m), vec_spec(1),
-                   vec_spec(1)),
+                   vec_spec(1), vec_spec(2)),
         out_shape=(
             jax.ShapeDtypeStruct((n, b_pad), jnp.float32),
             jax.ShapeDtypeStruct((m, b_pad), jnp.float32),
             jax.ShapeDtypeStruct((m, b_pad), jnp.float32),
             jax.ShapeDtypeStruct((1, b_pad), jnp.float32),
             jax.ShapeDtypeStruct((1, b_pad), jnp.float32),
+            jax.ShapeDtypeStruct((2, b_pad), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((n, n, tr), jnp.float32),
@@ -449,4 +458,4 @@ def fused_solve_batch(p_mat, q_vec, c_blocks, lb, ub, mask, x, z, y,
 
     back = lambda a: jnp.moveaxis(a, -1, 0)[:b]
     return (back(x_o), back(z_o), back(y_o),
-            back(rm_o).reshape(-1), back(viol_o).reshape(-1))
+            back(rm_o).reshape(-1), back(viol_o).reshape(-1), back(res_o))

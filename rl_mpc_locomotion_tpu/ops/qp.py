@@ -259,11 +259,12 @@ def solve_qp(p_mat, q_vec, c_blocks, lb, ub, state: QPState, cfg: QPConfig,
         if _fused_eligible(cfg):
             m = jnp.ones(p_mat.shape[0], p_mat.dtype) if mask is None else mask
             solver = _make_fused_solver(cfg)
-            x_u, z_u, y_u, rm, viol = solver(
+            x_u, z_u, y_u, rm, viol, res = solver(
                 p_mat, q_vec, c_blocks, lb, ub, m,
                 state.x, state.z, state.y, state.rho_mult)
             return (x_u, QPState(x=x_u, z=z_u, y=y_u, rho_mult=rm),
-                    {"primal_violation": viol})
+                    {"primal_violation": viol, "pri_res": res[0],
+                     "dua_res": res[1]})
         if mask is not None:
             p_mat = p_mat * mask[:, None] * mask[None, :] + jnp.diag(1.0 - mask)
             q_vec = q_vec * mask
@@ -287,11 +288,12 @@ def solve_qp_chain(s_chain, q_vec, weights, alpha, c_blocks, lb, ub,
             m = (jnp.ones(q_vec.shape[0], q_vec.dtype) if mask is None
                  else mask)
             solver = _make_fused_chain_solver(cfg, float(alpha))
-            x_u, z_u, y_u, rm, viol = solver(
+            x_u, z_u, y_u, rm, viol, res = solver(
                 s_chain, weights, q_vec, c_blocks, lb, ub, m,
                 state.x, state.z, state.y, state.rho_mult)
             return (x_u, QPState(x=x_u, z=z_u, y=y_u, rho_mult=rm),
-                    {"primal_violation": viol})
+                    {"primal_violation": viol, "pri_res": res[0],
+                     "dua_res": res[1]})
         p_mat = hessian_from_chain(s_chain, weights, alpha, horizon)
         if mask is not None:
             p_mat = (p_mat * mask[:, None] * mask[None, :]
@@ -313,7 +315,8 @@ def _make_fused_chain_solver(cfg: QPConfig, alpha: float):
         qm = q * mask
         x_u, st, diag = _solve_qp_impl(pm, qm, c, lb, ub,
                                        QPState(x, z, y, rho_mult), xla_cfg)
-        return x_u, st.z, st.y, st.rho_mult, diag["primal_violation"]
+        return (x_u, st.z, st.y, st.rho_mult, diag["primal_violation"],
+                jnp.stack([diag["pri_res"], diag["dua_res"]]))
 
     @solve_full.def_vmap
     def _rule(axis_size, in_batched, *args):
@@ -325,7 +328,7 @@ def _make_fused_chain_solver(cfg: QPConfig, alpha: float):
             relax=cfg.relax, rho_base=cfg.rho,
             rho_eq_scale=cfg.rho_eq_scale, ruiz_iters=cfg.ruiz_iters,
             deferred_rho=cfg.deferred_rho)
-        return out, (True,) * 5
+        return out, (True,) * 6
 
     return solve_full
 
@@ -350,7 +353,8 @@ def _make_fused_solver(cfg: QPConfig):
         qm = q * mask
         x_u, st, diag = _solve_qp_impl(pm, qm, c, lb, ub,
                                        QPState(x, z, y, rho_mult), xla_cfg)
-        return x_u, st.z, st.y, st.rho_mult, diag["primal_violation"]
+        return (x_u, st.z, st.y, st.rho_mult, diag["primal_violation"],
+                jnp.stack([diag["pri_res"], diag["dua_res"]]))
 
     @solve_full.def_vmap
     def _rule(axis_size, in_batched, *args):
@@ -361,7 +365,7 @@ def _make_fused_solver(cfg: QPConfig):
             *args, iters=cfg.iters, sigma=cfg.sigma, relax=cfg.relax,
             rho_base=cfg.rho, rho_eq_scale=cfg.rho_eq_scale,
             ruiz_iters=cfg.ruiz_iters, deferred_rho=cfg.deferred_rho)
-        return out, (True,) * 5
+        return out, (True,) * 6
 
     return solve_full
 
@@ -391,8 +395,10 @@ def _solve_qp_impl(p_mat, q_vec, c_blocks, lb, ub, state: QPState,
                                  cfg.use_pallas)
     x, z, y = solver(build_k(rho), q_s, c_s, l_s, u_s, rho, x, z, y)
 
-    def rho_rescale(x, z, y):
-        # OSQP eq. (20): rho <- rho * sqrt(pri_res_rel / dua_res_rel)
+    def residuals(x, z, y):
+        # OSQP relative primal/dual residuals on the scaled problem; the
+        # ratio drives the rho rescale (eq. 20), the values themselves are
+        # the per-solve convergence telemetry (QP margin story).
         cx = _apply_c(c_s, x)
         pri = jnp.max(jnp.abs(cx - z))
         pri_rel = pri / jnp.maximum(jnp.maximum(jnp.max(jnp.abs(cx)),
@@ -404,20 +410,26 @@ def _solve_qp_impl(p_mat, q_vec, c_blocks, lb, ub, state: QPState,
             jnp.maximum(jnp.max(jnp.abs(px)),
                         jnp.maximum(jnp.max(jnp.abs(cty)),
                                     jnp.max(jnp.abs(q_s)))), 1e-8)
+        return pri_rel, dua_rel
+
+    def rho_rescale(pri_rel, dua_rel):
         scale = jnp.sqrt(pri_rel / jnp.maximum(dua_rel, 1e-10))
         return jnp.clip(scale, 1e-2, 1e2)
 
     rho_mult = state.rho_mult
+    pri_rel, dua_rel = residuals(x, z, y)
     if cfg.adaptive_rho:
         # immediate restart: re-factor with the rescaled rho this solve
-        rho2 = jnp.clip(rho * rho_rescale(x, z, y), 1e-6, 1e6)
+        rho2 = jnp.clip(rho * rho_rescale(pri_rel, dua_rel), 1e-6, 1e6)
         solver2 = _make_scaled_solver(cfg.iters2, cfg.sigma, cfg.relax,
                                       cfg.use_pallas)
         x, z, y = solver2(build_k(rho2), q_s, c_s, l_s, u_s, rho2, x, z, y)
+        pri_rel, dua_rel = residuals(x, z, y)
     elif cfg.deferred_rho:
         # deferred: remember the rescale for the NEXT solve (single factor
         # per solve; rho converges per robot over a few MPC periods)
-        rho_mult = jnp.clip(rho_mult * rho_rescale(x, z, y), 1e-3, 1e3)
+        rho_mult = jnp.clip(rho_mult * rho_rescale(pri_rel, dua_rel),
+                            1e-3, 1e3)
 
     if cfg.polish:
         x = _polish(p_s, q_s, c_s, l_s, u_s, x, y, z, cfg)
@@ -428,7 +440,8 @@ def _solve_qp_impl(p_mat, q_vec, c_blocks, lb, ub, state: QPState,
     y_u = (e / c_cost) * y
 
     viol = jnp.maximum(jnp.max(jnp.maximum(lb - z_u, z_u - ub)), 0.0)
-    diag = {"primal_violation": viol}
+    diag = {"primal_violation": viol, "pri_res": pri_rel,
+            "dua_res": dua_rel}
     return x_u, QPState(x=x_u, z=z_u, y=y_u, rho_mult=rho_mult), diag
 
 

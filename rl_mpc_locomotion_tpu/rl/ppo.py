@@ -110,15 +110,20 @@ def rollout(model: ActorCritic, params, env_step: Callable, env_state,
         mean, log_std, value = model.apply(params, obs)
         action = mean + jnp.exp(log_std) * jax.random.normal(key, mean.shape)
         log_prob = gaussian_log_prob(mean, log_std, action)
-        env_state, next_obs, reward, done, _ = env_step(env_state, action, t)
+        env_state, next_obs, reward, done, info = env_step(env_state,
+                                                           action, t)
         tr = Transition(obs=obs, action=action, log_prob=log_prob,
                         value=value, reward=reward, done=done, mean=mean,
                         log_std=log_std)
-        return (env_state, next_obs, rng), tr
+        # solver-health telemetry rides along when the env exposes it
+        # (sim/env.step info); stacked (T, B) for percentile reduction
+        aux = {k: info[k] for k in ("qp_pri_res", "qp_dua_res",
+                                    "qp_diverged", "fall") if k in info}
+        return (env_state, next_obs, rng), (tr, aux)
 
-    (env_state, obs, rng), traj = jax.lax.scan(
+    (env_state, obs, rng), (traj, aux) = jax.lax.scan(
         body, (env_state, obs, rng), jnp.arange(num_steps))
-    return env_state, obs, rng, traj
+    return env_state, obs, rng, traj, aux
 
 
 def ppo_update(model: ActorCritic, cfg: PPOConfig, train: TrainState,

@@ -103,7 +103,7 @@ def make_train_step(params: RobotParams, cfg: TrainConfig,
         def env_step(es, actions, t):
             return step_batch(env_params, es, actions, tick + t)
 
-        env_state, obs, rng, traj = ppo.rollout(
+        env_state, obs, rng, traj, aux = ppo.rollout(
             model, train_state.params, env_step, env_state, obs,
             train_state.rng, cfg.ppo.num_steps)
         train_state = train_state._replace(rng=rng)
@@ -118,6 +118,38 @@ def make_train_step(params: RobotParams, cfg: TrainConfig,
         train_state, metrics = ppo.ppo_update(model, cfg.ppo, train_state,
                                               traj, last_value, grad_reduce,
                                               axis_name=axis_name)
+        # QP convergence margin telemetry over the rollout's solve ticks
+        # (VERDICT r3 weak #3: watch the 40-iter budget in training, not
+        # just at the behavioral-gate tests). Residuals are 0 on non-solve
+        # ticks; percentiles are taken over solve ticks only.
+        if "qp_pri_res" in aux:
+            pri = aux["qp_pri_res"].reshape(-1)
+            dua = aux["qp_dua_res"].reshape(-1)
+            solved = pri > 0.0
+            nsolve = jnp.maximum(jnp.sum(solved), 1)
+
+            def pctl(v, p):
+                # percentile over solve ticks: sort descending with
+                # non-solve ticks pushed to the end
+                v_sorted = jnp.sort(jnp.where(solved, v, -jnp.inf))[::-1]
+                idx = jnp.clip(((1.0 - p) * nsolve).astype(jnp.int32),
+                               0, v.shape[0] - 1)
+                return v_sorted[idx]
+
+            metrics = dict(metrics)
+            metrics["qp_pri_res_p50"] = pctl(pri, 0.50)
+            metrics["qp_pri_res_p99"] = pctl(pri, 0.99)
+            metrics["qp_dua_res_p50"] = pctl(dua, 0.50)
+            metrics["qp_dua_res_p99"] = pctl(dua, 0.99)
+            metrics["qp_diverged_frac"] = (
+                jnp.sum(aux["qp_diverged"]) / nsolve)
+            if axis_name is not None:
+                # report global percentiles' mean across shards (cheap,
+                # keeps replication: all shards log the same value)
+                for k in ("qp_pri_res_p50", "qp_pri_res_p99",
+                          "qp_dua_res_p50", "qp_dua_res_p99",
+                          "qp_diverged_frac"):
+                    metrics[k] = jax.lax.pmean(metrics[k], axis_name)
         return train_state, env_state, obs, tick + cfg.ppo.num_steps, metrics
 
     if mesh is None:

@@ -78,7 +78,7 @@ class EnvState(NamedTuple):
     torques: jnp.ndarray        # (12,) last applied torques
     progress: jnp.ndarray       # () int32
     global_tick: jnp.ndarray    # () int32 — aligned MPC schedule
-    rand: randomize_mod.RandomizedPhysics  # this env's DR draw
+    rand: dict                  # this env's DR draws {target: value}
     rng: jax.Array
 
 
@@ -114,9 +114,10 @@ def reset(params: RobotParams, cfg: EnvConfig, rng,
     ctrl = ctrl._replace(loco=ctrl.loco._replace(
         iteration_counter=jnp.int32(global_tick)))
     if cfg.dr is not None:
-        rand = randomize_mod.sample(cfg.dr, cfg.physics, r4)
+        rand = randomize_mod.sample(cfg.dr, cfg.physics, params, r4,
+                                    jnp.asarray(global_tick, jnp.int32))
     else:
-        rand = randomize_mod.identity(cfg.physics)
+        rand = {}
     return EnvState(
         phys=phys, ctrl=ctrl,
         commands=_sample_commands(r3, cfg),
@@ -220,12 +221,14 @@ def step(params: RobotParams, cfg: EnvConfig, ter: terrain_mod.Terrain,
         phys=new_phys, ctrl=new_ctrl, actions=action, torques=torques,
         progress=state.progress + 1, global_tick=state.global_tick + 1)
 
-    # scheduled mid-episode re-randomization (vec_task rand_freq; reset
-    # always re-draws via reset() below)
+    # scheduled re-randomization every `frequency` GLOBAL steps (vec_task
+    # rand_freq counts sim steps, not episode progress; reset always
+    # re-draws via reset() below)
     if cfg.dr is not None and cfg.dr.frequency > 0:
         rng, dr_key = jax.random.split(state.rng)
-        redraw = (state.progress % cfg.dr.frequency) == 0
-        fresh_rand = randomize_mod.sample(cfg.dr, cfg.physics, dr_key)
+        redraw = (state.global_tick % cfg.dr.frequency) == 0
+        fresh_rand = randomize_mod.sample(cfg.dr, cfg.physics, params,
+                                          dr_key, state.global_tick)
         rand = jax.tree.map(lambda f, s: jnp.where(redraw, f, s),
                             fresh_rand, state.rand)
         state = state._replace(rand=rand, rng=rng)
@@ -262,5 +265,9 @@ def step(params: RobotParams, cfg: EnvConfig, ter: terrain_mod.Terrain,
     # not failure — see rl/evaluate.evaluate).
     info = {"torques": torques, "foot_contact": foot_contact,
             "f_ff": ctrl_metrics["f_ff"], "com_z": ctrl_metrics["com_z"],
-            "fall": fall, "timeout": timeout}
+            "fall": fall, "timeout": timeout,
+            # QP convergence telemetry (0 on non-solve ticks)
+            "qp_pri_res": ctrl_metrics["qp_pri_res"],
+            "qp_dua_res": ctrl_metrics["qp_dua_res"],
+            "qp_diverged": ctrl_metrics["qp_diverged"]}
     return state, obs, rew, done, info

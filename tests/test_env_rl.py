@@ -95,9 +95,9 @@ class TestDomainRandomization:
         cfg = dataclasses.replace(FAST_ENV, dr=randomize.DomainRandomization())
         keys = jax.random.split(jax.random.PRNGKey(7), 4)
         states = jax.vmap(lambda k: env_mod.reset(params, cfg, k))(keys)
-        mu = np.asarray(states.rand.friction_mu)
+        mu = np.asarray(states.rand["physics.friction_mu"])
         assert np.unique(mu).size == 4
-        lo, hi = cfg.dr.friction.range_
+        lo, hi = cfg.dr.spec("physics.friction_mu").range_
         nominal = cfg.physics.friction_mu
         assert np.all(mu >= lo * nominal - 1e-6)
         assert np.all(mu <= hi * nominal + 1e-6)
@@ -110,7 +110,7 @@ class TestDomainRandomization:
         params, _, ter = make_env()
         cfg = dataclasses.replace(FAST_ENV, dr=randomize.DomainRandomization())
         s0 = env_mod.reset(params, cfg, jax.random.PRNGKey(3))
-        s1 = s0._replace(rand=randomize.sample(cfg.dr, cfg.physics,
+        s1 = s0._replace(rand=randomize.sample(cfg.dr, cfg.physics, params,
                                                jax.random.PRNGKey(99)))
         states = jax.tree.map(lambda a, b: jnp.stack([a, b]), s0, s1)
         step = jax.jit(jax.vmap(
@@ -123,8 +123,7 @@ class TestDomainRandomization:
     def test_dr_off_is_nominal(self):
         params, cfg, ter = make_env()  # FAST_ENV has dr=None
         state = env_mod.reset(params, cfg, jax.random.PRNGKey(0))
-        assert float(state.rand.friction_mu) == cfg.physics.friction_mu
-        assert float(state.rand.mass_scale) == 1.0
+        assert state.rand == {}  # no draws -> physics runs nominal config
 
     def test_frequency_redraws_mid_episode(self):
         import dataclasses
@@ -133,14 +132,15 @@ class TestDomainRandomization:
         dr = randomize.DomainRandomization(frequency=3)
         cfg = dataclasses.replace(FAST_ENV, dr=dr)
         state = env_mod.reset(params, cfg, jax.random.PRNGKey(11))
-        mu0 = float(state.rand.friction_mu)
+        mu0 = float(state.rand["physics.friction_mu"])
         step = jax.jit(lambda s, a: env_mod.step(params, cfg, ter, s, a))
         mus = []
         for _ in range(4):
             state, *_ = step(state, jnp.zeros(12))
-            mus.append(float(state.rand.friction_mu))
-        assert mus[0] == mu0 and mus[1] == mu0   # progress 1, 2: no redraw
-        assert mus[2] != mu0                     # progress 3: redraw
+            mus.append(float(state.rand["physics.friction_mu"]))
+        # redraw keys on the GLOBAL tick (vec_task rand_freq semantics)
+        assert mus[0] == mu0 and mus[1] == mu0   # tick 1, 2: no redraw
+        assert mus[2] != mu0                     # tick 3: redraw
         assert mus[3] == mus[2]
 
 
@@ -158,9 +158,10 @@ class TestResume:
 
         ts_fresh = ppo.init_train_state(jax.random.PRNGKey(6), model,
                                         env_mod.NUM_OBS, cfg)
-        restored, start_it = train_mod.resume_train_state(
+        restored, start_it, path = train_mod.resume_train_state(
             str(tmp_path), ts_fresh, log_fn=lambda *_: None)
         assert start_it == 7
+        assert path.endswith("model_7")
         want = jax.tree.leaves(ts.params)
         got = jax.tree.leaves(restored.params)
         for w, g in zip(want, got):

@@ -68,7 +68,8 @@ def xla_reference(p, q, c, lb, ub, mask, x, z, y, rm, cfg=CFG):
         qm = q1 * m1
         x_u, st, diag = qp_mod._solve_qp_impl(
             pm, qm, c1, l1, u1, qp_mod.QPState(x1, z1, y1, rm1), cfg)
-        return x_u, st.z, st.y, st.rho_mult, diag["primal_violation"]
+        return (x_u, st.z, st.y, st.rho_mult, diag["primal_violation"],
+                jnp.stack([diag["pri_res"], diag["dua_res"]]))
     return jax.vmap(one)(p, q, c, lb, ub, mask, x, z, y, rm)
 
 
@@ -91,6 +92,15 @@ def check_close(got, want):
     # primal violation diagnostic matches (same unscaled z)
     np.testing.assert_allclose(np.asarray(got[4]), np.asarray(want[4]),
                                atol=1e-2)
+    if len(got) > 5:
+        # residual telemetry: finite, non-negative, same order of
+        # magnitude as XLA (kernel evaluates at x_t, XLA at relaxed x —
+        # a heuristic measurement point, not an invariant)
+        res = np.asarray(got[5])
+        assert res.shape[-1] == 2 and np.all(np.isfinite(res))
+        assert np.all(res >= 0)
+        w_res = np.asarray(want[5])
+        assert np.all(res < np.maximum(w_res * 50.0, 1.0)), (res, w_res)
 
 
 class TestFusedKernel:

@@ -44,38 +44,41 @@ class TestMovingWindowFilter:
 
 
 class TestDomainRandomization:
+    def _params(self):
+        from rl_mpc_locomotion_tpu.models import robots
+        return robots.aliengo_params()
+
     def test_sample_ranges(self):
         dr = randomize.DomainRandomization()
         cfg = physics.PhysicsConfig()
+        params = self._params()
         keys = jax.random.split(jax.random.PRNGKey(0), 256)
-        rps = jax.vmap(lambda k: randomize.sample(dr, cfg, k))(keys)
-        mu = np.asarray(rps.friction_mu)
+        rps = jax.vmap(lambda k: randomize.sample(dr, cfg, params, k))(keys)
+        mu = np.asarray(rps["physics.friction_mu"])
         assert mu.min() >= cfg.friction_mu * 0.6 - 1e-5
         assert mu.max() <= cfg.friction_mu * 1.3 + 1e-5
         assert mu.std() > 0.01  # actually randomized
 
     def test_apply(self):
-        from rl_mpc_locomotion_tpu.models import robots
         dr = randomize.DomainRandomization()
         cfg = physics.PhysicsConfig()
-        rp = randomize.sample(dr, cfg, jax.random.PRNGKey(1))
+        params = self._params()
+        rp = randomize.sample(dr, cfg, params, jax.random.PRNGKey(1))
         new_cfg = randomize.apply_to_config(cfg, rp)
         assert float(new_cfg.friction_mu) != cfg.friction_mu
-        params = robots.aliengo_params()
         new_params = randomize.apply_to_params(params, rp)
         assert float(new_params.body_mass) != float(params.body_mass)
 
     def test_randomized_physics_step_runs(self):
-        from rl_mpc_locomotion_tpu.models import robots
         from rl_mpc_locomotion_tpu.sim import terrain
-        params = robots.aliengo_params()
+        params = self._params()
         dr = randomize.DomainRandomization()
         cfg = physics.PhysicsConfig()
         ter = terrain.flat(extent=10.0, cell=0.5)
         q0 = jnp.tile(jnp.array([0.0, 0.8, -1.6]), 4)
 
         def one(key):
-            rp = randomize.sample(dr, cfg, key)
+            rp = randomize.sample(dr, cfg, params, key)
             rcfg = randomize.apply_to_config(cfg, rp)
             rparams = randomize.apply_to_params(params, rp)
             st = physics.init_state(rparams, q0, 0.345)
@@ -84,6 +87,59 @@ class TestDomainRandomization:
 
         zs = jax.jit(jax.vmap(one))(jax.random.split(jax.random.PRNGKey(2), 8))
         assert np.isfinite(np.asarray(zs)).all()
+
+    def test_generic_specs_gaussian_additive_and_robot_fields(self):
+        """The generic engine: any physics.*/robot.* scalar with any
+        distribution x operation combination (vec_task.py:449-705)."""
+        params = self._params()
+        cfg = physics.PhysicsConfig()
+        dr = randomize.DomainRandomization(specs=(
+            ("robot.body_height", randomize.RandomizationSpec(
+                distribution="gaussian", operation="additive",
+                range_=(0.0, 0.01))),
+            ("physics.joint_friction", randomize.RandomizationSpec(
+                operation="scaling", range_=(0.5, 2.0))),
+        ))
+        keys = jax.random.split(jax.random.PRNGKey(3), 128)
+        rps = jax.vmap(lambda k: randomize.sample(dr, cfg, params, k))(keys)
+        bh = np.asarray(rps["robot.body_height"])
+        assert abs(bh.mean() - float(params.body_height)) < 0.01
+        assert 0.002 < bh.std() < 0.03
+        jf = np.asarray(rps["physics.joint_friction"])
+        assert jf.min() >= cfg.joint_friction * 0.5 - 1e-5
+        new_params = randomize.apply_to_params(
+            params, jax.tree.map(lambda x: x[0], rps))
+        assert float(new_params.body_height) != float(params.body_height)
+
+    def test_schedule_ramps_noise(self):
+        """linear schedule: zero noise at step 0, full at schedule_steps."""
+        params = self._params()
+        cfg = physics.PhysicsConfig()
+        dr = randomize.DomainRandomization(specs=(
+            ("physics.friction_mu", randomize.RandomizationSpec(
+                range_=(0.5, 0.5), schedule="linear", schedule_steps=100)),
+        ))
+        k = jax.random.PRNGKey(0)
+        at0 = randomize.sample(dr, cfg, params, k, jnp.int32(0))
+        at50 = randomize.sample(dr, cfg, params, k, jnp.int32(50))
+        at100 = randomize.sample(dr, cfg, params, k, jnp.int32(100))
+        mu0 = float(at0["physics.friction_mu"])
+        mu50 = float(at50["physics.friction_mu"])
+        mu100 = float(at100["physics.friction_mu"])
+        nom = cfg.friction_mu
+        assert abs(mu0 - nom) < 1e-6                      # no noise yet
+        np.testing.assert_allclose(mu100, nom * 0.5, rtol=1e-5)
+        np.testing.assert_allclose(mu50 - nom, (mu100 - nom) / 2, rtol=1e-4)
+
+    def test_from_dict_yaml_shape(self):
+        dr = randomize.from_dict({
+            "frequency": 7,
+            "specs": {"physics.friction_mu": {
+                "distribution": "uniform", "operation": "scaling",
+                "range": [0.7, 1.2]}}})
+        assert dr.frequency == 7
+        assert dr.spec("physics.friction_mu").range_ == (0.7, 1.2)
+        assert dr.spec("robot.body_mass") is None
 
 
 class TestYamlConfig:
