@@ -49,6 +49,18 @@ class PhysicsConfig(NamedTuple):
     friction_mu: float = 1.0     # plane staticFriction (Aliengo.yaml:14)
     q_min: float = -3.5
     q_max: float = 3.5
+    # ---- leg-inertia coupling (off = pure SRB trunk) --------------------
+    # Each leg is a composite point mass m_l = leg_mass_frac * body_mass at
+    # the fraction leg_com_frac along hip->foot (total mass stays
+    # body_mass, so the MPC's total-weight model stays exact); the legs'
+    # inertial/gravity reaction couples back into the trunk equations and
+    # the joint torques feel the leg weight. See substep() for the
+    # momentum-consistent explicit scheme.
+    leg_coupling: bool = False
+    leg_mass_frac: float = 0.1   # per-leg fraction of total mass
+    leg_com_frac: float = 0.35   # leg CoM fraction along hip->foot
+    leg_force_limit: float = 3.0  # |f_leg| clamp, multiples of m_l * g
+    leg_force_tau: float = 0.03   # trunk-side reaction low-pass (s)
 
 
 class PhysState(NamedTuple):
@@ -60,6 +72,7 @@ class PhysState(NamedTuple):
     qd: jnp.ndarray        # (12,)
     anchor: jnp.ndarray    # (4,2) stick-slip friction anchors (world xy)
     contact: jnp.ndarray   # (4,) bool: foot was in contact last substep
+    f_leg: jnp.ndarray     # (4,3) low-passed leg-inertia reaction (world)
 
 
 def init_state(params: RobotParams, q0, height: float = 0.4) -> PhysState:
@@ -72,6 +85,7 @@ def init_state(params: RobotParams, q0, height: float = 0.4) -> PhysState:
         qd=jnp.zeros(12, jnp.float32),
         anchor=jnp.zeros((4, 2), jnp.float32),
         contact=jnp.zeros(4, bool),
+        f_leg=jnp.zeros((4, 3), jnp.float32),
     )
 
 
@@ -146,13 +160,88 @@ def substep(params: RobotParams, cfg: PhysicsConfig, ter, state: PhysState,
 
     # --- trunk dynamics -------------------------------------------------
     mass = params.body_mass
-    force = jnp.sum(f_contact, axis=0) + jnp.array(
-        [0.0, 0.0, -GRAVITY], jnp.float32) * mass
+    g_vec = jnp.array([0.0, 0.0, -GRAVITY], jnp.float32)
+    force = jnp.sum(f_contact, axis=0) + g_vec * mass
     torque = jnp.sum(jnp.cross(rel, f_contact), axis=0)
     inertia_w = r_wb @ params.body_inertia @ r_bw
-    omega = state.omega + dt * jnp.linalg.solve(
-        inertia_w, torque - jnp.cross(state.omega, inertia_w @ state.omega))
-    v = state.v + dt * force / mass
+    gyro = jnp.cross(state.omega, inertia_w @ state.omega)
+    vdot0 = force / mass
+    omdot0 = jnp.linalg.solve(inertia_w, torque - gyro)
+
+    # joint-space contact pullback (shared by both branches)
+    f_body = f_contact @ r_wb  # world->body: R_bw f = f @ R_bw^T = f @ r_wb
+    tau_contact = jnp.einsum('lji,lj->li', jac, f_body).reshape(12)
+
+    if cfg.leg_coupling:
+        # ---- leg-inertia coupling (momentum-consistent explicit) --------
+        # Composite point mass m_l per leg at p_l = hip + c*(foot - hip)
+        # (so J_p = c * J_foot). Scheme (SURVEY §7 stage-6 fidelity step
+        # short of a full 18-DoF articulated solver):
+        #   1. joints integrate FIRST, loaded by the leg's rigid-ride
+        #      inertia/gravity through J_p^T (swing legs sag under their
+        #      own weight, centrifugal load flings them out),
+        #   2. the trunk then receives each swing leg's reaction as the
+        #      EXACT momentum the joints just imparted to the leg mass,
+        #      -m_l * c * R * J * (qd_new - qd) / dt, plus the rigid-ride
+        #      reaction m_l (g - a_rigid). Using the realized Delta-qd
+        #      (not an estimated tau/I) keeps system momentum consistent
+        #      by construction. Stance legs couple only through the
+        #      rigid-ride term: their foot is pinned and its contact force
+        #      already acts on the trunk directly — feeding the 15 kN/m
+        #      contact spring back again with a substep delay is the
+        #      classic explicit-coupling blowup.
+        # Dropped: Jdot*qd and per-link rotational inertia (small at
+        # 500 Hz substeps); a_rigid uses the pass-1 (SRB) trunk accels.
+        m_leg = cfg.leg_mass_frac * mass
+        c = cfg.leg_com_frac
+        hips_w_rel = hip_locations(params.abad_location) @ r_wb.T   # (4,3)
+        r_p = hips_w_rel + c * (rel - hips_w_rel)                   # (4,3)
+        v_rel_w = c * (v_joint_body @ r_wb.T)
+        # leg-point acceleration relative to the trunk's LINEAR accel
+        # (which is solved for implicitly below via the effective mass):
+        a_nov = (jnp.cross(omdot0[None, :], r_p)
+                 + jnp.cross(state.omega[None, :],
+                             jnp.cross(state.omega[None, :], r_p))
+                 + 2.0 * jnp.cross(state.omega[None, :], v_rel_w))
+        f_ride = m_leg * (g_vec[None, :] - vdot0[None, :] - a_nov)  # (4,3)
+
+        # joints: rigid-ride inertia + gravity load through J_p^T
+        tau_ride = c * jnp.einsum('lji,lj->li', jac,
+                                  f_ride @ r_wb).reshape(12)
+        qdd_c = (tau + tau_contact + tau_ride - cfg.joint_friction
+                 * jnp.tanh(state.qd * 10.0)) / cfg.joint_inertia
+        qd_new = (state.qd + dt * qdd_c) / (
+            1.0 + dt * cfg.joint_damping / cfg.joint_inertia)
+        dqd = (qd_new - state.qd).reshape(4, 3)
+        a_joint_w = (c / dt) * jnp.einsum('lij,lj->li', jac, dqd) @ r_wb.T
+        swing = (1.0 - in_contact.astype(jnp.float32))[:, None]
+
+        # trunk-side reaction: the SWING legs' realized acceleration
+        # momentum pushed back (-m_l a_joint — the servo-whip disturbance
+        # the SRB plant lacks), CLAMPED to a physical bound and LOW-PASSED.
+        # Zero-mean over a gait cycle by construction, so it cannot bias
+        # statics: the trunk equations keep the exact SRB total-mass form
+        # (leg weight is already inside body_mass). The rigid-ride /
+        # gravity reaction terms stay on the JOINT side only (tau_ride):
+        # applied explicitly to the trunk they close a positive-feedback
+        # loop with the swing PD and the contact spring and destabilize
+        # the integrator (measured: sustained clamp-saturated bias tips
+        # the robot); their static trunk-side effect is a CoM shift the
+        # MPC absorbs anyway.
+        f_raw = -m_leg * a_joint_w * swing
+        lim = cfg.leg_force_limit * m_leg * GRAVITY
+        f_raw = jnp.clip(f_raw, -lim, lim)
+        f_lp = state.f_leg + (dt / cfg.leg_force_tau) * (f_raw - state.f_leg)
+
+        force_t = force + jnp.sum(f_lp, axis=0)
+        torque_t = torque + jnp.sum(jnp.cross(r_p, f_lp), axis=0)
+        v = state.v + dt * force_t / mass
+        omega = state.omega + dt * jnp.linalg.solve(
+            inertia_w, torque_t - gyro)
+    else:
+        f_lp = state.f_leg
+        v = state.v + dt * vdot0
+        omega = state.omega + dt * omdot0
     pos = state.pos + dt * v
 
     # quaternion integration q' = q + dt/2 * omega_quat * q
@@ -169,20 +258,20 @@ def substep(params: RobotParams, cfg: PhysicsConfig, ter, state: PhysState,
     quat = quat / jnp.linalg.norm(quat)
 
     # --- joint dynamics -------------------------------------------------
-    # ground force on the foot, expressed in the body frame, pulled back
-    # through the leg Jacobian: I_j qdd = tau_motor + J^T f_foot - damping
-    f_body = f_contact @ r_wb  # world->body: R_bw f = f @ R_bw^T = f @ r_wb
-    tau_contact = jnp.einsum('lji,lj->li', jac, f_body).reshape(12)
-    qdd = (tau + tau_contact
-           - cfg.joint_friction * jnp.tanh(state.qd * 10.0)) / cfg.joint_inertia
-    # implicit viscous joint damping: qd' = (qd + dt*qdd) / (1 + dt*b/I)
-    qd_new = (state.qd + dt * qdd) / (
-        1.0 + dt * cfg.joint_damping / cfg.joint_inertia)
+    # ground force on the foot pulled back through the leg Jacobian:
+    # I_j qdd = tau_motor + J^T f_foot - damping. (With leg_coupling the
+    # joints were already integrated above, with the leg load included.)
+    if not cfg.leg_coupling:
+        qdd = (tau + tau_contact - cfg.joint_friction
+               * jnp.tanh(state.qd * 10.0)) / cfg.joint_inertia
+        # implicit viscous joint damping: qd' = (qd+dt*qdd) / (1+dt*b/I)
+        qd_new = (state.qd + dt * qdd) / (
+            1.0 + dt * cfg.joint_damping / cfg.joint_inertia)
     q_new = jnp.clip(state.q + dt * qd_new, cfg.q_min, cfg.q_max)
 
     return PhysState(pos=pos, quat=quat, v=v, omega=omega, q=q_new,
                      qd=qd_new, anchor=anchor,
-                     contact=in_contact), f_contact, in_contact
+                     contact=in_contact, f_leg=f_lp), f_contact, in_contact
 
 
 def step(params: RobotParams, cfg: PhysicsConfig, ter, state: PhysState,

@@ -213,6 +213,115 @@ class TestPhysics:
         assert float(st.quat[0]) > 0.98  # upright
 
 
+class TestLegInertiaCoupling:
+    """PhysicsConfig.leg_coupling: swing-leg reaction forces couple into
+    the trunk (VERDICT r3 missing #2 / SURVEY §7 stage 6 fidelity step)."""
+
+    def _airborne(self, pcfg):
+        params, _, ter = make_env()
+        q0 = jnp.tile(jnp.array([0.0, 0.8, -1.6]), 4)
+        st = physics.init_state(params, q0, height=5.0)  # no contact
+        return params, ter, st
+
+    def test_swing_reaction_pitches_trunk(self):
+        """Airborne robot swings all legs forward (hip-pitch torque): with
+        coupling the trunk must pitch back (momentum exchange); the pure
+        SRB plant cannot react at all."""
+        tau = jnp.tile(jnp.array([0.0, 8.0, 0.0]), 4)  # hip pitch torque
+
+        def run(pcfg):
+            params, ter, st = self._airborne(pcfg)
+            step = jax.jit(lambda s: physics.step(params, pcfg, ter, s, tau))
+            for _ in range(20):
+                st = step(s=st)[0]
+            return st
+
+        st_srb = run(physics.PhysicsConfig())
+        st_cpl = run(physics.PhysicsConfig(leg_coupling=True))
+        # SRB: zero angular response to joint torques in free space
+        assert abs(float(st_srb.omega[1])) < 1e-5
+        # coupled: non-trivial pitch rate, opposite in sign to the leg
+        # swing (legs forward under +hip-pitch => trunk pitches the other
+        # way); just require a clearly nonzero response
+        assert abs(float(st_cpl.omega[1])) > 1e-3
+        for leaf in jax.tree.leaves(st_cpl):
+            assert np.all(np.isfinite(np.asarray(leaf, dtype=np.float32)))
+
+    def test_weightlessness_no_joint_load(self):
+        """Free fall, zero torque: joints must feel NO load either way —
+        with the coupling, a_p equals g so the reaction vanishes exactly
+        (weightlessness). Guards against a sign/bookkeeping error that
+        would make legs 'sag' in free fall."""
+        for pcfg in (physics.PhysicsConfig(),
+                     physics.PhysicsConfig(leg_coupling=True)):
+            params, ter, st = self._airborne(pcfg)
+            st2, _, _ = physics.step(params, pcfg, ter, st, jnp.zeros(12))
+            assert np.abs(np.asarray(st2.qd)).max() < 1e-5
+
+    def test_centrifugal_load_flings_legs(self):
+        """Airborne robot spinning about z, zero torque: with coupling the
+        centrifugal term omega x (omega x r_p) loads the joints and the
+        legs get flung outward; the SRB plant keeps them frozen."""
+        def run(pcfg):
+            params, ter, st = self._airborne(pcfg)
+            st = st._replace(omega=jnp.array([0.0, 0.0, 8.0], jnp.float32))
+            step = jax.jit(lambda s: physics.step(params, pcfg, ter, s,
+                                                  jnp.zeros(12)))
+            for _ in range(10):
+                st = step(s=st)[0]
+            return st
+
+        q0 = np.asarray(jnp.tile(jnp.array([0.0, 0.8, -1.6]), 4))
+        dq_srb = np.abs(np.asarray(run(
+            physics.PhysicsConfig()).q) - q0).max()
+        dq_cpl = np.abs(np.asarray(run(
+            physics.PhysicsConfig(leg_coupling=True)).q) - q0).max()
+        assert dq_srb < 1e-4                    # massless legs: frozen
+        assert dq_cpl > 5 * max(dq_srb, 1e-5)   # heavy legs: flung
+
+    def test_total_mass_conserved_in_freefall(self):
+        """Legs riding rigidly with the trunk: CoM acceleration must be -g
+        (the trunk-mass split + reaction forces recover total mass)."""
+        pcfg = physics.PhysicsConfig(leg_coupling=True,
+                                     joint_damping=50.0)  # pin legs
+        params, ter, st = self._airborne(pcfg)
+        st2, _, _ = physics.step(params, pcfg, ter, st, jnp.zeros(12))
+        dt = pcfg.dt * pcfg.substeps
+        # trunk vertical accel within 15% of g (legs sag slightly, moving
+        # CoM; exact -g holds only for the full system CoM)
+        assert abs(float(st2.v[2]) / dt + 9.81) < 0.15 * 9.81
+
+    def test_closed_loop_walks_with_coupling(self):
+        """The MPC controller still walks the higher-fidelity plant: model
+        mismatch (controller assumes SRB) stays within the controller's
+        robustness margin."""
+        from rl_mpc_locomotion_tpu.control import runner as runner_mod
+        params, _, ter = make_env()
+        pcfg = physics.PhysicsConfig(leg_coupling=True)
+        # full-accuracy solver: the whip disturbance is a real model
+        # mismatch, and the 8-iter CHEAP_QP test solver (fine for
+        # API-shape tests) has no margin for it
+        ccfg = ControlConfig()
+        q0 = jnp.tile(jnp.array([0.0, 0.8, -1.6]), 4)
+        pst = physics.init_state(params, q0, float(params.body_height) + 0.03)
+        cst = runner_mod.init_state(params, ccfg)
+        commands = jnp.array([0.4, 0.0, 0.0], jnp.float32)
+
+        @jax.jit
+        def tick(pst, cst):
+            body = physics.root_state_vector(pst)
+            cst, tau, _ = runner_mod.min_step(
+                params, ccfg, cst, pst.q, pst.qd, body, commands)
+            pst, _, _ = physics.step(params, pcfg, ter, pst, tau)
+            return pst, cst
+
+        for _ in range(300):  # 3 s
+            pst, cst = tick(pst, cst)
+        assert float(pst.pos[2]) > 0.22, "trunk collapsed under coupling"
+        assert float(pst.pos[0]) > 0.5, "no forward progress"
+        assert float(pst.quat[0]) > 0.95, "not upright"
+
+
 class TestNaNContainment:
     def test_env_blowup_resets_and_zeroes_reward(self):
         """A non-finite physics state must be confined to its env: forced
