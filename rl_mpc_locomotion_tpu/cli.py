@@ -126,6 +126,7 @@ def cmd_play(args):
                                                    passive_iters, prev_action)
 
     ticks = int(args.seconds / cfg.dt)
+    render_frames = [] if args.render else None
     telemetry = None
     if args.telemetry:
         # native ring-buffer logger; frame mirrors the reference's MPC log
@@ -180,6 +181,10 @@ def cmd_play(args):
                         cstate.fsm.locomotion_unsafe)))
             elif t == recovery_until:
                 control_mode = jnp.int32(1)
+        if render_frames is not None:
+            from .utils.viewer import record_frame
+            env0 = jax.tree.map(lambda x: x[0], pstate)
+            render_frames.append(record_frame(params, env0))
         if telemetry is not None:
             pos0 = np.asarray(pstate.pos[0])
             frame = np.concatenate([
@@ -199,6 +204,10 @@ def cmd_play(args):
         telemetry.flush()
         telemetry.close()
         print(f"[play] telemetry written to {args.telemetry}")
+    if render_frames:
+        from .utils.viewer import render
+        out = render(render_frames, ter, args.render, dt=cfg.dt)
+        print(f"[play] animation written to {out}")
     wall = time.time() - t0
     # speed factor: simulated seconds per wall second (>1 = faster than RT)
     rt = ticks * cfg.dt / wall
@@ -358,6 +367,9 @@ def main(argv=None):
     pp.add_argument("--checkpoint", default=None)
     pp.add_argument("--telemetry", default=None, metavar="PATH",
                     help="write per-tick MPC telemetry (native logger)")
+    pp.add_argument("--render", default=None, metavar="GIF",
+                    help="render env0's rollout to a .gif/.mp4 animation "
+                         "(offline viewer, utils/viewer.py)")
     pp.add_argument("--gamepad", action="store_true",
                     help="drive commands from /dev/input/js0 (native reader)")
     pp.set_defaults(fn=cmd_play)
