@@ -6,7 +6,9 @@ mixed-terrain heightfield — the integration exercise for heterogeneous
 batches, the FSM, and terrain handling, without a viewer or gamepad
 (commands are scripted).
 
-Run:  python examples/mpc_terrain_show.py
+Run:  python examples/mpc_terrain_show.py [--render out.gif]
+(--render replaces the reference's live Isaac viewer with the offline
+skeleton animation of robot 0, utils/viewer.py)
 """
 import os
 import sys
@@ -24,7 +26,7 @@ from rl_mpc_locomotion_tpu.ops.qp import production_qp_config
 from rl_mpc_locomotion_tpu.sim import physics, terrain
 
 
-def main(seconds: float = 4.0):
+def main(seconds: float = 4.0, render: str | None = None):
     registry = robots.robot_registry()
     robot_ids = jnp.array([0, 0, 2, 2, 1, 1], jnp.int32)  # Aliengo/A1/Go1 x2
     n = len(robot_ids)
@@ -64,9 +66,15 @@ def main(seconds: float = 4.0):
                              commands)
 
     names = ["Aliengo", "Aliengo", "A1", "A1", "Go1", "Go1"]
+    frames = [] if render else None
     for t in range(int(seconds * 100)):
         pstate, cstate, passive_iters, m = tick(pstate, cstate,
                                                 passive_iters)
+        if frames is not None:
+            from rl_mpc_locomotion_tpu.utils.viewer import record_frame
+            env0 = jax.tree.map(lambda x: x[0], pstate)
+            frames.append(record_frame(
+                robots.select_robot(registry, int(robot_ids[0])), env0))
         if t % 100 == 0:
             pos = np.asarray(pstate.pos)
             print(f"t={t/100:4.1f}s  " + "  ".join(
@@ -76,8 +84,15 @@ def main(seconds: float = 4.0):
     upright = pos[:, 2] > 0.12
     moved = pos[:, 0] > 0.3
     print(f"upright: {upright.sum()}/6, moved forward: {moved.sum()}/6")
+    if frames:
+        from rl_mpc_locomotion_tpu.utils.viewer import render as render_fn
+        print("rendering", render_fn(frames, ter, render))
     return bool(upright.all())
 
 
 if __name__ == "__main__":
-    raise SystemExit(0 if main() else 1)
+    _render = None
+    if "--render" in sys.argv:
+        i = sys.argv.index("--render")
+        _render = sys.argv[i + 1] if len(sys.argv) > i + 1 else "show.gif"
+    raise SystemExit(0 if main(render=_render) else 1)
