@@ -16,10 +16,28 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache: the full train step takes minutes
+    to compile (TPU or CPU); cache hits make repeated CLI runs start in
+    seconds. Same setup bench.py uses; off only if the dir can't be made."""
+    import jax
+    cache = os.environ.get(
+        "RL_MPC_JAX_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache"))
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass
 
 ROBOT_IDS = {"aliengo": 0, "go1": 1, "a1": 2}
 GAIT_IDS = {"trot": 0, "bound": 1, "pronk": 2, "pace": 3, "gallop": 5,
@@ -349,6 +367,7 @@ def cmd_eval(args):
 
 
 def main(argv=None):
+    _enable_compilation_cache()
     p = argparse.ArgumentParser(prog="rl_mpc_locomotion_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 
