@@ -51,11 +51,10 @@ def evaluate(params: RobotParams, cfg, ter: terrain_mod.Terrain,
 
     default_w = jnp.asarray(params.mpc_weights, jnp.float32)
 
-    def reset_batch():
+    def reset_batch(pinned_cmd=None):
         state = jax.vmap(lambda k: env_mod.reset(params, cfg, k))(keys)
-        if commands is not None:
-            cmd = jnp.broadcast_to(jnp.asarray(commands, jnp.float32),
-                                   (num_envs, 3))
+        if pinned_cmd is not None:
+            cmd = jnp.broadcast_to(pinned_cmd, (num_envs, 3))
             state = state._replace(commands=cmd)
         obs = jax.vmap(lambda s: env_mod.observations(params, cfg, s))(state)
         return state, obs
@@ -74,9 +73,13 @@ def evaluate(params: RobotParams, cfg, ter: terrain_mod.Terrain,
                                          solve_gate=gate, weights=w))(
             state, action, wb)
 
+    # the pinned command is a TRACED argument, so a command sweep reuses
+    # one compiled program across points (a closure constant would force a
+    # ~minutes recompile per sweep point)
     @jax.jit
-    def run():
-        state, obs = reset_batch()
+    def run(pinned_cmd):
+        state, obs = reset_batch(pinned_cmd if commands is not None
+                                 else None)
 
         def body(carry, t):
             state, obs, fell = carry
@@ -88,8 +91,7 @@ def evaluate(params: RobotParams, cfg, ter: terrain_mod.Terrain,
             # command pinning must survive auto-resets (fresh resets draw
             # random commands)
             if commands is not None:
-                cmd = jnp.broadcast_to(jnp.asarray(commands, jnp.float32),
-                                       (num_envs, 3))
+                cmd = jnp.broadcast_to(pinned_cmd, (num_envs, 3))
                 state = state._replace(commands=cmd)
             r_bw = jax.vmap(lambda q: _quat_rot(q))(state.phys.quat)
             v_b = jnp.einsum("bij,bj->bi", r_bw, state.phys.v)
@@ -107,7 +109,9 @@ def evaluate(params: RobotParams, cfg, ter: terrain_mod.Terrain,
             "lin_vel_err": jnp.mean(verrs),
         }
 
-    out = {k: float(v) for k, v in run().items()}
+    cmd_arg = (jnp.asarray(commands, jnp.float32) if commands is not None
+               else jnp.zeros(3, jnp.float32))
+    out = {k: float(v) for k, v in run(cmd_arg).items()}
     out["num_envs"] = num_envs
     out["num_steps"] = num_steps
     return out
