@@ -58,7 +58,8 @@ def latest_checkpoint(directory: str) -> Optional[str]:
 def restore_checkpoint(path: str, target: Any) -> Any:
     import orbax.checkpoint as ocp
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(path, target)
+    # orbax/tensorstore requires absolute paths; accept relative ones
+    return ckptr.restore(os.path.abspath(path), target)
 
 
 def restore_env_snapshot(path: str, target: dict) -> Optional[dict]:
