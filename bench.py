@@ -167,9 +167,16 @@ def bench(batch: int = 4096, warmup: int = 2, iters: int = 100,
 
     n = len(samples)
     samples_ms = sorted(s * 1000.0 for s in samples)
-    period_ms = sum(samples_ms) / n
+    mean_ms = sum(samples_ms) / n
     p99_ms = samples_ms[min(n - 1, int(0.99 * n))]
     p50_ms = samples_ms[n // 2]
+    # headline basis = MEDIAN slope: the chip work per period is constant,
+    # so sample spread is transport noise — and a single tunnel stall
+    # landing inside a long dispatch inflates that sample's slope by
+    # hundreds of ms (observed: p50 20.05 / p99 994 on a congested
+    # session). The mean is reported alongside; a large mean/p50 gap
+    # flags a noisy session, not a slow chip.
+    period_ms = p50_ms
     solves_per_s = batch / (period_ms / 1000.0)
     qp_iters = qp_cfg.iters + qp_cfg.iters2
     floor_ms = physical_floor_ms(batch, qp_iters)
@@ -189,6 +196,7 @@ def bench(batch: int = 4096, warmup: int = 2, iters: int = 100,
         "detail": {
             "batch": batch,
             "mpc_period_ms": round(period_ms, 3),
+            "period_slope_mean_ms": round(mean_ms, 3),
             "period_slope_p99_ms": round(p99_ms, 3),
             "period_slope_p50_ms": round(p50_ms, 3),
             "slope_samples": n,
