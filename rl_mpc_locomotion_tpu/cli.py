@@ -339,6 +339,8 @@ def cmd_eval(args):
     from .rl import evaluate as eval_mod
     from .sim.env import EnvConfig
 
+    from .sim.env import num_obs
+
     params = {"aliengo": robots.aliengo_params, "go1": robots.go1_params,
               "a1": robots.a1_params}[args.task.lower()]()
     qp = production_qp_config()._replace(
@@ -348,17 +350,21 @@ def cmd_eval(args):
         from .sim.randomize import DomainRandomization
         dr = DomainRandomization()
     cfg = EnvConfig(control=ControlConfig(
-        qp=qp, flat_ground=(args.terrain == "flat")), dr=dr)
+        qp=qp, flat_ground=(args.terrain == "flat")), dr=dr,
+        obs_robot_id=args.obs_robot_id)
     ter = _make_terrain(args.terrain)
-    policy = WeightPolicy(checkpoint=args.checkpoint)
+    policy = WeightPolicy(checkpoint=args.checkpoint, num_obs=num_obs(cfg))
     sweep = None
     if args.sweep:
         sweep = [(0.5, 0.0, 0.0), (1.0, 0.0, 0.0), (-0.5, 0.0, 0.0),
                  (0.0, 0.5, 0.0), (0.5, 0.0, 0.5), (1.5, 0.0, 0.0)]
+    seeds = tuple(int(s) for s in args.seeds.split(",")) if args.seeds \
+        else None
     res = eval_mod.ab_compare(params, cfg, ter, policy.params, policy.model,
                               num_envs=args.num_envs,
                               num_steps=int(args.seconds / cfg.control.dt),
-                              seed=args.seed, command_sweep=sweep)
+                              seed=args.seed, command_sweep=sweep,
+                              seeds=seeds)
     print(json.dumps(res, indent=1))
     if args.out:
         with open(args.out, "w") as f:
@@ -439,6 +445,10 @@ def main(argv=None):
     pe.add_argument("--num-envs", type=int, default=64)
     pe.add_argument("--seconds", type=float, default=5.0)
     pe.add_argument("--seed", type=int, default=0)
+    pe.add_argument("--seeds", default=None, metavar="S0,S1,...",
+                    help="multi-seed eval: comma list; reports mean+-95%% CI")
+    pe.add_argument("--obs-robot-id", action="store_true",
+                    help="robot-one-hot conditioned checkpoint (obs 48+3)")
     pe.add_argument("--terrain", default="flat", choices=TERRAINS)
     pe.add_argument("--dr", action="store_true",
                     help="evaluate under domain randomization")

@@ -104,6 +104,9 @@ def _solve_mpc(params: RobotParams, cfg: ControlConfig, se: StateEstimate,
     c_blocks = jnp.tile(srb.friction_cone_block(mu)[None],
                         (horizon * 4, 1, 1))
 
+    # receding-horizon warm-start shift: this solve's horizon is the
+    # previous one advanced by one gait segment (ops/qp.shift_warm_start)
+    qp_state = qp_mod.shift_warm_start(qp_state, horizon)
     x, new_qp_state, diag = qp_mod.solve_qp_chain(
         s_chain, q_vec, weights, cfg.alpha, c_blocks, lb, ub, qp_state,
         cfg.qp, mask=mask, horizon=horizon)
@@ -236,12 +239,17 @@ def _step_impl(params: RobotParams, cfg: ControlConfig, loco: LocomotionState,
 
     # divergence fallback: a solve whose worst constraint violation exceeds
     # the tolerance holds the previous forces and cold-starts the next solve
-    # (the reference's unhandled empty-vector case, mpc_osqp.cc:791-794)
+    # (the reference's unhandled empty-vector case, mpc_osqp.cc:791-794).
+    # The deferred-rho memory is RETAINED through the fallback: resetting
+    # rho_mult to 1.0 re-triggered the very stall (A1's rho far from 1)
+    # that caused the divergence, producing divergence bursts (r4 A1
+    # campaign telemetry: qp_diverged_frac 2.6%).
     diverged = qp_diag["primal_violation"] > cfg.qp_divergence_tol
     f_ff = jnp.where(diverged, loco.f_ff, f_ff)
+    cold = qp_mod.init_qp_state(cfg.horizon * 12, cfg.horizon * 20)
+    cold = cold._replace(rho_mult=qp_state.rho_mult)
     qp_state = jax.tree.map(
-        lambda cold, cur: jnp.where(diverged, cold, cur),
-        qp_mod.init_qp_state(cfg.horizon * 12, cfg.horizon * 20), qp_state)
+        lambda c, cur: jnp.where(diverged, c, cur), cold, qp_state)
 
     if solve_gate is not None:
         # scalar gate ran the solve; per-robot counters mask the commit

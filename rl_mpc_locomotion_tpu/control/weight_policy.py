@@ -138,10 +138,14 @@ class WeightPolicy:
     (WeightPolicy.__init__ :35-92 equivalent, orbax instead of torch)."""
 
     def __init__(self, checkpoint: Optional[str] = None,
-                 hidden=(512, 256, 128)):
+                 hidden=(512, 256, 128), num_obs: int = 48):
+        """``num_obs``: observation width the checkpoint was trained with
+        (48, or 48+3 for robot-one-hot conditioned heterogeneous policies —
+        sim/env.num_obs)."""
         self.model = ActorCritic(num_actions=12, hidden=hidden)
+        self.num_obs = num_obs
         rng = jax.random.PRNGKey(0)
-        self.params = self.model.init(rng, jnp.zeros((1, 48)))
+        self.params = self.model.init(rng, jnp.zeros((1, num_obs)))
         if checkpoint:
             from ..utils.checkpoint import (latest_checkpoint,
                                             restore_checkpoint)
@@ -153,7 +157,7 @@ class WeightPolicy:
                     path = found
             try:
                 from ..rl.ppo import PPOConfig, init_train_state
-                ts = init_train_state(rng, self.model, 48, PPOConfig())
+                ts = init_train_state(rng, self.model, num_obs, PPOConfig())
                 ts = restore_checkpoint(path, ts)
                 self.params = ts.params
             except Exception as exc:  # latest-run fallback failed too

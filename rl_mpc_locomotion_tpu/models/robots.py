@@ -33,9 +33,13 @@ class RobotParams(NamedTuple):
     body_height: jnp.ndarray        # ()
     friction_coeff: jnp.ndarray     # () — 0.4 for all robots
     mpc_weights: jnp.ndarray        # (13,) default MPC cost weights
+    robot_id: jnp.ndarray = jnp.int32(-1)  # () registry id (-1 = custom);
+    # feeds the optional robot-one-hot observation for heterogeneous-batch
+    # policies (sim/env.observations, EnvConfig.obs_robot_id)
 
 
-def _make(abad, hip, knee, abad_loc, mass, inertia_diag, height, weights):
+def _make(abad, hip, knee, abad_loc, mass, inertia_diag, height, weights,
+          robot_id):
     return RobotParams(
         abad_link_length=jnp.float32(abad),
         hip_link_length=jnp.float32(hip),
@@ -46,6 +50,7 @@ def _make(abad, hip, knee, abad_loc, mass, inertia_diag, height, weights):
         body_height=jnp.float32(height),
         friction_coeff=jnp.float32(0.4),
         mpc_weights=jnp.array(weights, jnp.float32),
+        robot_id=jnp.int32(robot_id),
     )
 
 
@@ -53,7 +58,8 @@ def aliengo_params() -> RobotParams:
     """Quadruped.py:16-36."""
     return _make(0.083, 0.25, 0.25, [0.2399, 0.051, 0.0], 9.041 * 2,
                  [0.033260231, 0.16117211, 0.17460442], 0.35,
-                 [1.0, 1.5, 0.0, 0.0, 0.0, 50, 0.0, 0.0, 0.1, 1.0, 1.0, 0.1, 0.0])
+                 [1.0, 1.5, 0.0, 0.0, 0.0, 50, 0.0, 0.0, 0.1, 1.0, 1.0, 0.1, 0.0],
+                 ALIENGO)
 
 
 def go1_params() -> RobotParams:
@@ -61,14 +67,15 @@ def go1_params() -> RobotParams:
     w = [1.0, 1.5, 0.0, 0.0, 0.0, 50, 0.0, 0.0, 0.1, 1.0, 1.0, 0.1, 0.0]
     return _make(0.08, 0.213, 0.213, [0.1881, 0.04675, 0.0], 5.204 * 2,
                  [x * 5 for x in [0.0168128557, 0.063009565, 0.0716547275]],
-                 0.26, [x * 10 for x in w])
+                 0.26, [x * 10 for x in w], GO1)
 
 
 def a1_params() -> RobotParams:
     """Quadruped.py:58-73 (mass x3, inertia x10)."""
     return _make(0.08505, 0.2, 0.2, [0.183, 0.047, 0.0], 8.5 * 3,
                  [x * 10 for x in [0.017, 0.057, 0.064]], 0.26,
-                 [0.25, 0.25, 10, 2, 2, 50, 0, 0, 0.3, 0.5, 0.5, 0.1, 0])
+                 [0.25, 0.25, 10, 2, 2, 50, 0, 0, 0.3, 0.5, 0.5, 0.1, 0],
+                 A1)
 
 
 def robot_registry() -> RobotParams:

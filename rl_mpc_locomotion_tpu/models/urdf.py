@@ -57,7 +57,8 @@ def params_from_urdf(path: str, body_height: float,
                      mass_scale: float = 1.0,
                      inertia_scale: float = 1.0,
                      friction_coeff: float = 0.4,
-                     mpc_weights: Optional[Sequence[float]] = None
+                     mpc_weights: Optional[Sequence[float]] = None,
+                     robot_id: int = -1,
                      ) -> RobotParams:
     """Build RobotParams from a Unitree-style URDF.
 
@@ -84,4 +85,5 @@ def params_from_urdf(path: str, body_height: float,
         body_height=jnp.float32(body_height),
         friction_coeff=jnp.float32(friction_coeff),
         mpc_weights=jnp.array(weights, jnp.float32),
+        robot_id=jnp.int32(robot_id),
     )

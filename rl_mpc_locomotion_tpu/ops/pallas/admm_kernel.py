@@ -165,6 +165,108 @@ def gj_invert_inplace(kbuf, num_panels=None, panel_width=None):
     jax.lax.fori_loop(0, total, panel_step, 0)
 
 
+def gj_invert_symmetric(kbuf, panel_width: int = 8):
+    """In-place inverse of the SPD (n, n, tr) tile exploiting symmetry —
+    ~1.9x fewer FLOPs than gj_invert_inplace on the factor phase (the
+    VPU-FLOP-bound part of the solve; VERDICT r4 weak #7).
+
+    Invariant: after eliminating the leading c0 columns, the buffer state
+    of blocked Gauss-Jordan on a symmetric matrix is
+        B = [[P, Q], [-Q^T, S]]       (split at c0)
+    with P (the growing inverse) and S (the trailing Schur complement)
+    symmetric. Only the LOWER triangle is stored and updated. The key
+    identity: with rows_old = B[c0:c1, :] and cols_old = B[:, c0:c1],
+        cols_old[i, m] = sigma_i * rows_old[m, i],
+        sigma_i = -1 for i < c0, +1 for i >= c0,
+    so the general trailing update -cols_old @ (inv @ rows_old) becomes
+    -sigma_i * W with W = rows_old^T inv rows_old SYMMETRIC — the lower
+    triangle suffices, and every read is a stored row-major slab (RLB =
+    B[c0:c1, 0:c0], C = B[c1:, c0:c1]); the transposed accesses reduce to
+    (1,k,tr)->(k,1,tr) reshapes, never a real transpose. Similarly the
+    final column slab -cols_old @ inv = -sigma_i * t_slab^T is just the
+    panel's -C @ inv (= -G) on its stored lower part.
+
+    A final symmetrize pass (per-column slab copies, ~one buffer pass)
+    restores the full K^-1 so the ADMM x-update stays ONE broadcast-
+    multiply-reduce per iteration.
+
+    The panel loop and all slices are STATIC (python unroll) — the
+    triangular region restriction requires static extents.
+    """
+    n = kbuf.shape[0]
+    tr = kbuf.shape[2]
+    w = panel_width if n % panel_width == 0 else _panel_width(n)
+    num_p = n // w
+
+    for p in range(num_p):
+        c0, c1 = p * w, (p + 1) * w
+
+        # ---- 1. invert the pivot block (symmetric, SPD) ----------------
+        blk = kbuf[c0:c1, c0:c1, :]
+        bi = jax.lax.broadcasted_iota(jnp.int32, (w, 1, 1), 0)
+        bj = jax.lax.broadcasted_iota(jnp.int32, (1, w, 1), 1)
+        for k in range(w):
+            d = 1.0 / blk[k:k + 1, k:k + 1, :]
+            row = blk[k:k + 1, :, :] * d
+            col = -blk[:, k:k + 1, :] * d
+            upd = blk + col * blk[k:k + 1, :, :]
+            upd = jnp.where(bi == k, row, upd)
+            upd = jnp.where(bj == k, jnp.where(bi == k, d, col), upd)
+            blk = upd
+        inv = blk                                    # symmetric
+
+        # ---- 2. stored slabs ------------------------------------------
+        rlb = kbuf[c0:c1, 0:c0, :] if p > 0 else None        # (w,c0,tr)
+        c_sl = kbuf[c1:, c0:c1, :] if c1 < n else None       # (n-c1,w,tr)
+
+        # t_left = inv @ RLB (cols 0:c0 of the final row slab / W input)
+        if rlb is not None:
+            t_left = sum(inv[:, m:m + 1, :] * rlb[m:m + 1, :, :]
+                         for m in range(w))                  # (w,c0,tr)
+        # G = C @ inv (col-slab write is -G; W's right t-factor is G^T)
+        if c_sl is not None:
+            g_sl = sum(c_sl[:, m:m + 1, :] * inv[m:m + 1, :, :]
+                       for m in range(w))                    # (n-c1,w,tr)
+
+        # ---- 3. trailing update, lower triangle only -------------------
+        # rows < c0 (P region, sigma=-1 -> +=):
+        for r in range(p):
+            r0, r1 = r * w, (r + 1) * w
+            acc = sum(
+                rlb[m:m + 1, r0:r1, :].reshape(w, 1, tr)
+                * t_left[m:m + 1, 0:r1, :]
+                for m in range(w))
+            kbuf[r0:r1, 0:r1, :] = kbuf[r0:r1, 0:r1, :] + acc
+        # rows > c1 (S region, sigma=+1 -> -=): left rect + right triangle
+        if c_sl is not None:
+            if rlb is not None:
+                acc = sum(c_sl[:, m:m + 1, :] * t_left[m:m + 1, :, :]
+                          for m in range(w))
+                kbuf[c1:, 0:c0, :] = kbuf[c1:, 0:c0, :] - acc
+            for r in range(p + 1, num_p):
+                r0, r1 = r * w, (r + 1) * w
+                ln = r1 - c1
+                acc = sum(
+                    c_sl[r0 - c1:r1 - c1, m:m + 1, :]
+                    * g_sl[0:ln, m:m + 1, :].reshape(1, ln, tr)
+                    for m in range(w))
+                kbuf[r0:r1, c1:r1, :] = kbuf[r0:r1, c1:r1, :] - acc
+
+        # ---- 4. slab writes (stored parts only) ------------------------
+        if c_sl is not None:
+            kbuf[c1:, c0:c1, :] = -g_sl
+        if rlb is not None:
+            kbuf[c0:c1, 0:c0, :] = t_left
+        kbuf[c0:c1, c0:c1, :] = inv
+
+    # ---- 5. symmetrize: upper = lower^T (per-column slab copies) -------
+    for k in range(1, num_p):
+        c = k * w
+        for m in range(w):
+            kbuf[0:c, c + m:c + m + 1, :] = (
+                kbuf[c + m:c + m + 1, 0:c, :].reshape(c, 1, tr))
+
+
 def _gj_admm_kernel(iters: int, sigma: float, relax: float,
                     k_hbm, q_ref, c_ref, l_ref, u_ref, rho_ref,
                     x0_ref, z0_ref, y0_ref,
@@ -180,7 +282,7 @@ def _gj_admm_kernel(iters: int, sigma: float, relax: float,
     dma.start()
     dma.wait()
 
-    gj_invert_inplace(kbuf)
+    gj_invert_symmetric(kbuf)
 
     def kinv_apply(rhs):
         # kbuf now holds K^-1 densely: one buffer pass per x-update

@@ -141,7 +141,10 @@ def _solve_phases(iters: int, sigma: float, relax: float, rho_base: float,
     y = y0_ref[:, :] * (c_cost / e)
 
     # ---- 5./6. factor + iterate -----------------------------------------
-    admm_kernel.gj_invert_inplace(kbuf)
+    # symmetric-aware factor: K is SPD, so the trailing updates run on the
+    # lower triangle only (~1.9x fewer FLOPs than the general blocked GJ
+    # on the FLOP-bound phase; admm_kernel.gj_invert_symmetric)
+    admm_kernel.gj_invert_symmetric(kbuf)
 
     def kinv_apply(rhs):
         return jnp.sum(kbuf[:, :, :] * rhs.reshape(1, n, tr), axis=1)

@@ -122,21 +122,59 @@ def _quat_rot(quat):
     return rot.quat_to_rot(quat)
 
 
+def _mean_ci95(vals):
+    """(mean, 95% CI half-width) over independent seed runs (normal
+    approximation; with <=5 seeds this understates slightly — the CI is a
+    margin indicator, not a hypothesis test)."""
+    import math
+    n = len(vals)
+    m = sum(vals) / n
+    if n < 2:
+        return m, 0.0
+    var = sum((v - m) ** 2 for v in vals) / (n - 1)
+    return m, 1.96 * math.sqrt(var / n)
+
+
+def _aggregate(runs, seeds):
+    """Per-seed eval dicts -> means + ci95 under the original keys (legacy
+    single-seed consumers keep reading res['policy']['reward_per_step'])."""
+    out = {}
+    for k in ("reward_per_step", "survival_rate", "falls", "lin_vel_err"):
+        m, ci = _mean_ci95([r[k] for r in runs])
+        out[k] = m
+        out[k + "_ci95"] = ci
+    out["num_envs"] = runs[0]["num_envs"]
+    out["num_steps"] = runs[0]["num_steps"]
+    out["seeds"] = list(seeds)
+    out["per_seed"] = runs
+    return out
+
+
 def ab_compare(params: RobotParams, cfg, ter, policy_params,
                model: Optional[ActorCritic] = None, num_envs: int = 64,
                num_steps: int = 500, seed: int = 0,
-               command_sweep=None) -> dict:
-    """Both arms under identical conditions; optional command sweep.
+               command_sweep=None, seeds=None) -> dict:
+    """Both arms under identical conditions; optional command sweep and
+    multi-seed aggregation.
 
-    command_sweep: iterable of (3,) commands; None = one run on the
-    training command distribution. Returns {"policy": ..., "default": ...,
-    "sweep": [...], "policy_beats_default": bool}.
+    seeds: iterable of eval seeds (None = (seed,)). Means +-95% CI are
+    reported per arm. Returns {"policy": ..., "default": ...,
+    "sweep": [...], "policy_beats_default": bool, "win_criteria": ...}.
+
+    The win criterion is reward AND no-regression on survival and falls
+    (VERDICT r4 weak #1: a reward-only gate certified a Go1 policy that
+    survived 1.6% vs the default's 7.8% as a "win"). A policy that scores
+    more reward by falling more is not deployable.
     """
+    if seeds is None:
+        seeds = (seed,)
     res = {
-        "policy": evaluate(params, cfg, ter, policy_params, model,
-                           num_envs, num_steps, seed),
-        "default": evaluate(params, cfg, ter, None, model,
-                            num_envs, num_steps, seed),
+        "policy": _aggregate([evaluate(params, cfg, ter, policy_params,
+                                       model, num_envs, num_steps, s)
+                              for s in seeds], seeds),
+        "default": _aggregate([evaluate(params, cfg, ter, None, model,
+                                        num_envs, num_steps, s)
+                               for s in seeds], seeds),
     }
     if command_sweep is not None:
         rows = []
@@ -149,6 +187,14 @@ def ab_compare(params: RobotParams, cfg, ter, policy_params,
                                     num_envs, num_steps, seed, commands=cmd),
             })
         res["sweep"] = rows
-    res["policy_beats_default"] = (
-        res["policy"]["reward_per_step"] >= res["default"]["reward_per_step"])
+    p, d = res["policy"], res["default"]
+    crit = {
+        "reward": p["reward_per_step"] >= d["reward_per_step"],
+        # no-regression margins: 1pt survival / 5%+1 falls absorb eval
+        # noise without letting a real regression through
+        "survival": p["survival_rate"] >= d["survival_rate"] - 0.01,
+        "falls": p["falls"] <= d["falls"] * 1.05 + 1.0,
+    }
+    res["win_criteria"] = crit
+    res["policy_beats_default"] = all(crit.values())
     return res

@@ -126,15 +126,19 @@ def make_train_step(params: RobotParams, cfg: TrainConfig,
             pri = aux["qp_pri_res"].reshape(-1)
             dua = aux["qp_dua_res"].reshape(-1)
             solved = pri > 0.0
+            any_solved = jnp.any(solved)
             nsolve = jnp.maximum(jnp.sum(solved), 1)
 
             def pctl(v, p):
                 # percentile over solve ticks: sort descending with
-                # non-solve ticks pushed to the end
+                # non-solve ticks pushed to the end. Zero solve ticks in
+                # the rollout (gated/short-rollout configs) would select
+                # a -inf sentinel, which json.dumps would serialize as the
+                # non-standard -Infinity token — report 0.0 instead.
                 v_sorted = jnp.sort(jnp.where(solved, v, -jnp.inf))[::-1]
                 idx = jnp.clip(((1.0 - p) * nsolve).astype(jnp.int32),
                                0, v.shape[0] - 1)
-                return v_sorted[idx]
+                return jnp.where(any_solved, v_sorted[idx], 0.0)
 
             metrics = dict(metrics)
             metrics["qp_pri_res_p50"] = pctl(pri, 0.50)
@@ -212,8 +216,8 @@ def train(params: RobotParams, cfg: TrainConfig,
     model = ActorCritic(num_actions=env_mod.NUM_ACTIONS)
     rng = jax.random.PRNGKey(cfg.seed)
     rng, init_key, env_key = jax.random.split(rng, 3)
-    train_state = ppo.init_train_state(init_key, model, env_mod.NUM_OBS,
-                                       cfg.ppo)
+    train_state = ppo.init_train_state(init_key, model,
+                                       env_mod.num_obs(cfg.env), cfg.ppo)
     start_it = 0
     resume_path = None
     if resume_from:

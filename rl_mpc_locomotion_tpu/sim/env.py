@@ -38,6 +38,9 @@ MPC_PARAM_CONST = jnp.array([5, 5, 5, 50, 50, 50, 1, 1, 1, 1, 1, 1],
 DEFAULT_DOF_POS = jnp.tile(jnp.array([0.0, 0.8, -1.6], jnp.float32), 4)
 
 
+NUM_ROBOT_TYPES = 3  # one-hot width for obs_robot_id (models/robots registry)
+
+
 @dataclasses.dataclass(frozen=True)
 class EnvConfig:
     """cfg/task/Aliengo.yaml equivalents."""
@@ -45,6 +48,18 @@ class EnvConfig:
     command_x_range: tuple = (-2.5, 2.5)
     command_y_range: tuple = (-1.0, 1.0)
     command_yaw_range: tuple = (-2.5, 2.5)
+    # command-magnitude curriculum: commands drawn at reset are scaled by
+    # ramp(global_tick / curriculum_ticks) from curriculum_start_frac -> 1.
+    # 0 disables. (Not in the reference — its fixed +-2.5 m/s draws on
+    # rough terrain mean most early episodes end in a fall before PPO can
+    # learn anything; the ramp restores a learnable early distribution.)
+    command_curriculum_ticks: int = 0
+    command_curriculum_start: float = 0.2
+    # append a one-hot robot-type vector (params.robot_id) to observations
+    # so ONE policy can serve heterogeneous batches without losing to
+    # per-robot specialists (the reference trains one task class per robot,
+    # tasks/__init__.py). Changes NUM_OBS -> num_obs(cfg).
+    obs_robot_id: bool = False
     lin_vel_scale: float = 1.0
     ang_vel_scale: float = 1.0
     dof_pos_scale: float = 1.0
@@ -82,9 +97,14 @@ class EnvState(NamedTuple):
     rng: jax.Array
 
 
-def _sample_commands(rng, cfg: EnvConfig):
+def num_obs(cfg: EnvConfig) -> int:
+    """Observation width for this config (NUM_OBS + optional robot one-hot)."""
+    return NUM_OBS + (NUM_ROBOT_TYPES if cfg.obs_robot_id else 0)
+
+
+def _sample_commands(rng, cfg: EnvConfig, global_tick=jnp.int32(0)):
     kx, ky, kw = jax.random.split(rng, 3)
-    return jnp.stack([
+    cmd = jnp.stack([
         jax.random.uniform(kx, (), minval=cfg.command_x_range[0],
                            maxval=cfg.command_x_range[1]),
         jax.random.uniform(ky, (), minval=cfg.command_y_range[0],
@@ -92,6 +112,12 @@ def _sample_commands(rng, cfg: EnvConfig):
         jax.random.uniform(kw, (), minval=cfg.command_yaw_range[0],
                            maxval=cfg.command_yaw_range[1]),
     ])
+    if cfg.command_curriculum_ticks > 0:
+        s0 = cfg.command_curriculum_start
+        ramp = s0 + (1.0 - s0) * jnp.clip(
+            global_tick / float(cfg.command_curriculum_ticks), 0.0, 1.0)
+        cmd = cmd * ramp
+    return cmd
 
 
 def reset(params: RobotParams, cfg: EnvConfig, rng,
@@ -114,13 +140,15 @@ def reset(params: RobotParams, cfg: EnvConfig, rng,
     ctrl = ctrl._replace(loco=ctrl.loco._replace(
         iteration_counter=jnp.int32(global_tick)))
     if cfg.dr is not None:
-        rand = randomize_mod.sample(cfg.dr, cfg.physics, params, r4,
-                                    jnp.asarray(global_tick, jnp.int32))
+        rand = randomize_mod.sample(
+            cfg.dr, cfg.physics, params, r4,
+            jnp.asarray(global_tick, jnp.int32),
+            stream_dims={"obs": num_obs(cfg), "action": NUM_ACTIONS})
     else:
         rand = {}
     return EnvState(
         phys=phys, ctrl=ctrl,
-        commands=_sample_commands(r3, cfg),
+        commands=_sample_commands(r3, cfg, global_tick),
         actions=jnp.zeros(NUM_ACTIONS, jnp.float32),
         torques=jnp.zeros(12, jnp.float32),
         progress=jnp.int32(0),
@@ -148,7 +176,14 @@ def observations(params: RobotParams, cfg: EnvConfig, state: EnvState):
     obs = jnp.concatenate([
         ph.pos, base_lin_vel, base_ang_vel, cmd_scaled, dof_pos_scaled,
         ph.qd * cfg.dof_vel_scale, state.actions])
-    return jnp.clip(obs, -cfg.clip_obs, cfg.clip_obs)
+    obs = jnp.clip(obs, -cfg.clip_obs, cfg.clip_obs)
+    if cfg.obs_robot_id:
+        # heterogeneous-batch conditioning: which robot am I? (robot_id -1
+        # = custom robot -> all-zeros one-hot, still in-distribution-ish)
+        onehot = jax.nn.one_hot(params.robot_id, NUM_ROBOT_TYPES,
+                                dtype=obs.dtype)
+        obs = jnp.concatenate([obs, onehot])
+    return obs
 
 
 def _reward_and_reset(params: RobotParams, cfg: EnvConfig, state: EnvState,
@@ -192,6 +227,22 @@ def step(params: RobotParams, cfg: EnvConfig, ter: terrain_mod.Terrain,
 
     Returns (new_state, obs, reward, done, info). Auto-reset on done.
     """
+    # stream-noise DR (vec_task.py:308-310 randomizes actions before
+    # pre_physics; :331-333 randomizes observations after post_physics).
+    # Correlated components ride in state.rand; the uncorrelated part is
+    # redrawn per step here.
+    spec_a = cfg.dr.spec("action.noise") if cfg.dr is not None else None
+    spec_o = cfg.dr.spec("obs.noise") if cfg.dr is not None else None
+    key_o = None
+    if spec_a is not None or spec_o is not None:
+        rng, key_a, key_o = jax.random.split(state.rng, 3)
+        state = state._replace(rng=rng)
+        if spec_a is not None:
+            action = randomize_mod.apply_stream(
+                spec_a, state.rand["action.noise"], action, key_a,
+                state.global_tick)
+            action = jnp.clip(action, -cfg.clip_actions, cfg.clip_actions)
+
     if weights is None:
         weights = rescale_actions(action)
     dof_states = state.phys.q, state.phys.qd
@@ -227,8 +278,9 @@ def step(params: RobotParams, cfg: EnvConfig, ter: terrain_mod.Terrain,
     if cfg.dr is not None and cfg.dr.frequency > 0:
         rng, dr_key = jax.random.split(state.rng)
         redraw = (state.global_tick % cfg.dr.frequency) == 0
-        fresh_rand = randomize_mod.sample(cfg.dr, cfg.physics, params,
-                                          dr_key, state.global_tick)
+        fresh_rand = randomize_mod.sample(
+            cfg.dr, cfg.physics, params, dr_key, state.global_tick,
+            stream_dims={"obs": num_obs(cfg), "action": NUM_ACTIONS})
         rand = jax.tree.map(lambda f, s: jnp.where(redraw, f, s),
                             fresh_rand, state.rand)
         state = state._replace(rand=rand, rng=rng)
@@ -260,6 +312,10 @@ def step(params: RobotParams, cfg: EnvConfig, ter: terrain_mod.Terrain,
     state = jax.tree.map(lambda f, s: jnp.where(done, f, s), fresh, state)
 
     obs = observations(params, cfg, state)
+    if spec_o is not None:
+        obs = randomize_mod.apply_stream(
+            spec_o, state.rand["obs.noise"], obs, key_o, state.global_tick)
+        obs = jnp.clip(obs, -cfg.clip_obs, cfg.clip_obs)
     # fall vs timeout are distinct terminations: eval survival must count
     # only true falls (an episode-length timeout in a >20 s eval is success,
     # not failure — see rl/evaluate.evaluate).

@@ -1,0 +1,234 @@
+"""Round-5 training campaigns: train -> multi-seed A/B eval -> artifact.
+
+Each campaign reproduces the reference's training condition (512 envs,
+rough random-uniform terrain, slope-aware MPC, 5000 PPO iterations —
+legged_config_ppo.py:31-35, docs/2-development_log.md:116) with the r5
+additions: command-magnitude curriculum, obs/action stream-noise DR
+(vec_task.py:308-333 parity), and — for the mixed campaign — robot-one-hot
+conditioning so one policy serves heterogeneous batches.
+
+Artifacts land in artifacts/<name>/: model_<iters> checkpoint (+ env
+snapshot), metrics.jsonl, reward_curve.png, eval_ab[_robot].json
+(3-seed mean +- 95% CI, survival-gated win criterion).
+
+Usage:
+  python scripts/run_campaigns.py aliengo_flat aliengo_rough ...
+  python scripts/run_campaigns.py --list
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+_CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                      ".jax_cache")
+os.makedirs(_CACHE, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+from rl_mpc_locomotion_tpu.control.types import ControlConfig
+from rl_mpc_locomotion_tpu.models import robots
+from rl_mpc_locomotion_tpu.ops.qp import production_qp_config
+from rl_mpc_locomotion_tpu.rl import evaluate as eval_mod
+from rl_mpc_locomotion_tpu.rl import train as train_mod
+from rl_mpc_locomotion_tpu.rl.ppo import PPOConfig
+from rl_mpc_locomotion_tpu.sim import physics, terrain as terrain_mod
+from rl_mpc_locomotion_tpu.sim.env import EnvConfig
+from rl_mpc_locomotion_tpu.sim.randomize import (DomainRandomization,
+                                                 RandomizationSpec)
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ART = os.path.join(ROOT, "artifacts")
+
+# r5 DR recipe: physics/robot draws (r2-r4 set) + obs/action stream noise
+# (cfg/dr_rough.yaml is the YAML form of the same recipe)
+DR_SPECS = (
+    ("physics.friction_mu", RandomizationSpec(range_=(0.6, 1.3))),
+    ("robot.body_mass", RandomizationSpec(range_=(0.9, 1.15))),
+    ("physics.joint_damping", RandomizationSpec(range_=(0.8, 1.3))),
+    ("physics.contact_kn", RandomizationSpec(range_=(0.7, 1.4))),
+    ("action.noise", RandomizationSpec(
+        distribution="gaussian", operation="additive", range_=(0.0, 0.02),
+        range_correlated=(0.0, 0.005))),
+    ("obs.noise", RandomizationSpec(
+        distribution="gaussian", operation="additive", range_=(0.0, 0.02),
+        range_correlated=(0.0, 0.005))),
+)
+
+ROBOT_PARAMS = {"aliengo": robots.aliengo_params, "go1": robots.go1_params,
+                "a1": robots.a1_params}
+
+
+def env_config(terrain: str, dr: bool, curriculum: bool,
+               robot: str | None = None, obs_robot_id: bool = False,
+               leg_coupling: bool = False) -> EnvConfig:
+    qp = production_qp_config()._replace(
+        use_pallas=jax.default_backend() == "tpu")
+    kw = {}
+    if robot == "a1" or robot == "go1":
+        kw["base_init_height"] = 0.3
+    return EnvConfig(
+        control=ControlConfig(qp=qp, flat_ground=(terrain == "flat")),
+        dr=DomainRandomization(specs=DR_SPECS) if dr else None,
+        command_curriculum_ticks=30000 if curriculum else 0,
+        command_curriculum_start=0.2,
+        obs_robot_id=obs_robot_id,
+        physics=physics.PhysicsConfig(leg_coupling=leg_coupling),
+        **kw)
+
+
+@dataclasses.dataclass
+class Campaign:
+    name: str
+    robot: str               # 'aliengo' | 'go1' | 'a1' | 'mixed'
+    terrain: str = "rough"
+    iterations: int = 5000
+    dr: bool = True
+    curriculum: bool = True
+    obs_robot_id: bool = False
+    leg_coupling: bool = False
+    num_envs: int = 512
+    seed: int = 1
+
+
+CAMPAIGNS = {
+    # flat-terrain artifact (CI: test_eval_ab first 3 tests)
+    "aliengo_flat": Campaign("aliengo_weight_policy", "aliengo",
+                             terrain="flat", iterations=2000, dr=False,
+                             curriculum=False),
+    "aliengo_rough": Campaign("aliengo_weight_policy_rough", "aliengo"),
+    "go1_rough": Campaign("go1_weight_policy_rough", "go1"),
+    "a1_rough": Campaign("a1_weight_policy_rough", "a1"),
+    "mixed_rough": Campaign("mixed_weight_policy_rough", "mixed",
+                            obs_robot_id=True),
+    # higher-fidelity plant: train ON the leg-inertia-coupled dynamics
+    # (VERDICT r4 missing #3 — fidelity was only ever an eval-time check)
+    "aliengo_coupled": Campaign("aliengo_weight_policy_coupled", "aliengo",
+                                leg_coupling=True, iterations=3000),
+}
+
+
+def make_terrain(name: str):
+    return {"flat": terrain_mod.flat, "rough": terrain_mod.random_uniform,
+            "slope": terrain_mod.slope_platform,
+            "stairs": terrain_mod.stairs}[name]()
+
+
+def train_campaign(c: Campaign, out_dir: str):
+    ecfg = env_config(c.terrain, c.dr, c.curriculum,
+                      robot=(None if c.robot == "mixed" else c.robot),
+                      obs_robot_id=c.obs_robot_id,
+                      leg_coupling=c.leg_coupling)
+    cfg = train_mod.TrainConfig(num_envs=c.num_envs,
+                                max_iterations=c.iterations, seed=c.seed,
+                                ppo=PPOConfig(), env=ecfg)
+    if c.robot == "mixed":
+        ids = ([0, 1, 2] * (c.num_envs // 3 + 1))[:c.num_envs]
+        params = train_mod.stacked_robot_params(ids)
+    else:
+        params = ROBOT_PARAMS[c.robot]()
+    ter = make_terrain(c.terrain)
+    t0 = time.time()
+    _, history = train_mod.train(params, cfg, ter,
+                                 checkpoint_dir=out_dir, log_dir=out_dir)
+    print(f"[campaign {c.name}] trained {c.iterations} it in "
+          f"{time.time() - t0:.0f}s")
+    return history
+
+
+def eval_campaign(c: Campaign, out_dir: str, seeds=(0, 1, 2),
+                  num_envs=64, num_steps=1000):
+    """Multi-seed A/B on the training env (curriculum OFF — full command
+    distribution) per robot; survival-gated win criterion."""
+    from rl_mpc_locomotion_tpu.control.weight_policy import WeightPolicy
+    from rl_mpc_locomotion_tpu.sim.env import num_obs
+
+    eval_robots = (["aliengo", "go1", "a1"] if c.robot == "mixed"
+                   else [c.robot])
+    results = {}
+    for robot in eval_robots:
+        ecfg = env_config(c.terrain, c.dr, curriculum=False, robot=robot,
+                          obs_robot_id=c.obs_robot_id,
+                          leg_coupling=c.leg_coupling)
+        policy = WeightPolicy(checkpoint=out_dir, num_obs=num_obs(ecfg))
+        params = ROBOT_PARAMS[robot]()
+        ter = make_terrain(c.terrain)
+        res = eval_mod.ab_compare(params, ecfg, ter, policy.params,
+                                  policy.model, num_envs=num_envs,
+                                  num_steps=num_steps, seeds=seeds)
+        suffix = f"_{robot}" if c.robot == "mixed" else ""
+        path = os.path.join(out_dir, f"eval_ab{suffix}.json")
+        with open(path, "w") as f:
+            json.dump(res, f, indent=1)
+        p, d = res["policy"], res["default"]
+        print(f"[campaign {c.name}] eval {robot}: "
+              f"reward {p['reward_per_step']:.5f}+-{p['reward_per_step_ci95']:.5f} "
+              f"vs {d['reward_per_step']:.5f}+-{d['reward_per_step_ci95']:.5f} | "
+              f"survival {p['survival_rate']:.3f} vs {d['survival_rate']:.3f} | "
+              f"falls {p['falls']:.0f} vs {d['falls']:.0f} | "
+              f"win={res['policy_beats_default']} {res['win_criteria']}")
+        results[robot] = res
+    return results
+
+
+def plot_curve(out_dir: str):
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        rows = [json.loads(l) for l in
+                open(os.path.join(out_dir, "metrics.jsonl"))]
+        its = [r["train/iter"] for r in rows]
+        rew = [r["train/mean_reward"] for r in rows]
+        fig, ax = plt.subplots(figsize=(7, 3.5))
+        ax.plot(its, rew)
+        ax.set_xlabel("PPO iteration")
+        ax.set_ylabel("reward / step")
+        ax.set_title(os.path.basename(out_dir))
+        fig.tight_layout()
+        fig.savefig(os.path.join(out_dir, "reward_curve.png"), dpi=110)
+        plt.close(fig)
+    except Exception as exc:  # plotting must never kill a campaign
+        print(f"[campaign] reward_curve failed: {exc}")
+
+
+def run(key: str):
+    c = CAMPAIGNS[key]
+    out_dir = os.path.join(ART, c.name)
+    if os.path.isdir(out_dir):
+        stale = out_dir + ".r4_backup"
+        if not os.path.isdir(stale):
+            shutil.move(out_dir, stale)
+        else:
+            shutil.rmtree(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    train_campaign(c, out_dir)
+    plot_curve(out_dir)
+    eval_campaign(c, out_dir)
+    # keep only the final checkpoint in the artifact
+    kept = f"model_{c.iterations}"
+    for entry in os.listdir(out_dir):
+        if entry.startswith("model_") and entry != kept and \
+                not entry.endswith("_env"):
+            shutil.rmtree(os.path.join(out_dir, entry), ignore_errors=True)
+        if entry.startswith("model_") and entry.endswith("_env") and \
+                entry != kept + "_env":
+            shutil.rmtree(os.path.join(out_dir, entry), ignore_errors=True)
+    print(f"[campaign {key}] artifact at {out_dir}")
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    if not args or "--list" in args:
+        print("campaigns:", ", ".join(CAMPAIGNS))
+        sys.exit(0)
+    for key in args:
+        run(key)
