@@ -36,6 +36,9 @@ class RobotParams(NamedTuple):
     robot_id: jnp.ndarray = jnp.int32(-1)  # () registry id (-1 = custom);
     # feeds the optional robot-one-hot observation for heterogeneous-batch
     # policies (sim/env.observations, EnvConfig.obs_robot_id)
+    art: object = None  # Optional[sim.articulated.ArticulatedParams] —
+    # 18-DoF plant model (attach via sim.articulated.with_articulated;
+    # None keeps the SRB/coupled point-mass plants)
 
 
 def _make(abad, hip, knee, abad_loc, mass, inertia_diag, height, weights,

@@ -61,6 +61,11 @@ class PhysicsConfig(NamedTuple):
     leg_com_frac: float = 0.35   # leg CoM fraction along hip->foot
     leg_force_limit: float = 3.0  # |f_leg| clamp, multiples of m_l * g
     leg_force_tau: float = 0.03   # trunk-side reaction low-pass (s)
+    # ---- articulated 18-DoF plant (third fidelity tier) -----------------
+    # True routes substeps to sim.articulated (floating-base Lagrangian
+    # over the full URDF link tree); requires RobotParams.art
+    # (articulated.with_articulated). Overrides leg_coupling.
+    articulated: bool = False
 
 
 class PhysState(NamedTuple):
@@ -142,6 +147,9 @@ def _contact_force(cfg: PhysicsConfig, ter, p_w, v_w, anchor, was_contact):
 def substep(params: RobotParams, cfg: PhysicsConfig, ter, state: PhysState,
             tau):
     """One physics substep, semi-implicit Euler."""
+    if cfg.articulated:
+        from . import articulated
+        return articulated.substep(params, cfg, ter, state, tau)
     dt = cfg.dt
     tau = jnp.clip(tau, -cfg.tau_limit, cfg.tau_limit)
 

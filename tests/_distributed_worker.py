@@ -110,6 +110,31 @@ def main():
     kl = float(np.asarray(jax.device_get(metrics["kl"])))
     import os
     np.savez(os.path.join(outdir, f"params_{pid}.npz"), lr=lr, kl=kl, **arrs)
+
+    # ---- multi-process orbax checkpoint roundtrip (VERDICT r4 #7) ------
+    # every process participates in ONE coordinated save of the replicated
+    # TrainState and the cross-process-SHARDED env snapshot, restores, and
+    # asserts a bit-identical roundtrip of its local shards.
+    from rl_mpc_locomotion_tpu.utils.checkpoint import (
+        restore_checkpoint, restore_env_snapshot, save_checkpoint)
+    ckdir = os.path.join(outdir, "ckpt")
+    snap0 = {"env": env_state, "obs": obs, "tick": tick}
+    path = save_checkpoint(ckdir, 1, train_state, env_snapshot=snap0)
+    ts2 = restore_checkpoint(path, train_state)
+    snap2 = restore_env_snapshot(path, snap0)
+    assert snap2 is not None
+
+    def local_shards(a):
+        if hasattr(a, "addressable_shards"):
+            return [np.asarray(s.data) for s in a.addressable_shards]
+        return [np.asarray(a)]
+
+    for tree_a, tree_b in ((train_state, ts2), (snap0, snap2)):
+        for x, y in zip(jax.tree.leaves(tree_a), jax.tree.leaves(tree_b)):
+            for sa, sb in zip(local_shards(x), local_shards(y)):
+                assert sa.dtype == sb.dtype and (sa == sb).all(), \
+                    "checkpoint roundtrip not bit-identical"
+
     fp = float(sum(a.sum() for a in arrs.values()))
     print(f"RESULT {pid} {mr:.6f} {fp:.6f}", flush=True)
 
