@@ -46,12 +46,10 @@ def evaluate(params: RobotParams, cfg, ter: terrain_mod.Terrain,
     if model is None:
         model = ActorCritic(num_actions=env_mod.NUM_ACTIONS)
     ipm = cfg.control.iterations_between_mpc
-    rng = jax.random.PRNGKey(seed)
-    keys = jax.random.split(rng, num_envs)
 
     default_w = jnp.asarray(params.mpc_weights, jnp.float32)
 
-    def reset_batch(pinned_cmd=None):
+    def reset_batch(keys, pinned_cmd=None):
         state = jax.vmap(lambda k: env_mod.reset(params, cfg, k))(keys)
         if pinned_cmd is not None:
             cmd = jnp.broadcast_to(pinned_cmd, (num_envs, 3))
@@ -73,12 +71,14 @@ def evaluate(params: RobotParams, cfg, ter: terrain_mod.Terrain,
                                          solve_gate=gate, weights=w))(
             state, action, wb)
 
-    # the pinned command is a TRACED argument, so a command sweep reuses
-    # one compiled program across points (a closure constant would force a
-    # ~minutes recompile per sweep point)
+    # the pinned command AND the seed are TRACED arguments, so command
+    # sweeps and multi-seed aggregation reuse one compiled program per arm
+    # (closure constants would force a ~minutes recompile per sweep point
+    # and per seed — 3-seed x 2-arm A/Bs went from 6 compiles to 2)
     @jax.jit
-    def run(pinned_cmd):
-        state, obs = reset_batch(pinned_cmd if commands is not None
+    def run(pinned_cmd, seed_arg):
+        keys = jax.random.split(jax.random.PRNGKey(seed_arg), num_envs)
+        state, obs = reset_batch(keys, pinned_cmd if commands is not None
                                  else None)
 
         def body(carry, t):
@@ -111,7 +111,8 @@ def evaluate(params: RobotParams, cfg, ter: terrain_mod.Terrain,
 
     cmd_arg = (jnp.asarray(commands, jnp.float32) if commands is not None
                else jnp.zeros(3, jnp.float32))
-    out = {k: float(v) for k, v in run(cmd_arg).items()}
+    out = {k: float(v) for k, v in
+           run(cmd_arg, jnp.int32(seed)).items()}
     out["num_envs"] = num_envs
     out["num_steps"] = num_steps
     return out
