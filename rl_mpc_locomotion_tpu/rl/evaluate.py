@@ -47,39 +47,37 @@ def evaluate(params: RobotParams, cfg, ter: terrain_mod.Terrain,
         model = ActorCritic(num_actions=env_mod.NUM_ACTIONS)
     ipm = cfg.control.iterations_between_mpc
 
-    default_w = jnp.asarray(params.mpc_weights, jnp.float32)
+    # the pinned command, the seed, the ROBOT PARAMS and the POLICY PARAMS
+    # are all TRACED arguments, so one compiled program per arm serves
+    # every robot (same param shapes), every checkpoint, every seed and
+    # every sweep point — closure constants made each (robot, checkpoint)
+    # pair a fresh ~3-minute TPU compile, which priced checkpoint
+    # selection (scripts/extend_and_select.py) out of reach
+    @jax.jit
+    def run(pinned_cmd, seed_arg, rparams, pol_params):
+        default_w = jnp.asarray(rparams.mpc_weights, jnp.float32)
 
-    def reset_batch(keys, pinned_cmd=None):
-        state = jax.vmap(lambda k: env_mod.reset(params, cfg, k))(keys)
-        if pinned_cmd is not None:
+        def step_batch(state, obs, t):
+            gate = ((t + 1) % ipm) == 0
+            if policy_params is not None:
+                mean, _, _ = model.apply(pol_params, obs)
+                return jax.vmap(
+                    lambda s, a: env_mod.step(rparams, cfg, ter, s, a,
+                                              solve_gate=gate))(state, mean)
+            action = jnp.zeros((num_envs, env_mod.NUM_ACTIONS), jnp.float32)
+            wb = jnp.broadcast_to(default_w, (num_envs, 13))
+            return jax.vmap(
+                lambda s, a, w: env_mod.step(rparams, cfg, ter, s, a,
+                                             solve_gate=gate, weights=w))(
+                state, action, wb)
+
+        keys = jax.random.split(jax.random.PRNGKey(seed_arg), num_envs)
+        state = jax.vmap(lambda k: env_mod.reset(rparams, cfg, k))(keys)
+        if commands is not None:
             cmd = jnp.broadcast_to(pinned_cmd, (num_envs, 3))
             state = state._replace(commands=cmd)
-        obs = jax.vmap(lambda s: env_mod.observations(params, cfg, s))(state)
-        return state, obs
-
-    def step_batch(state, obs, t):
-        gate = ((t + 1) % ipm) == 0
-        if policy_params is not None:
-            mean, _, _ = model.apply(policy_params, obs)
-            return jax.vmap(
-                lambda s, a: env_mod.step(params, cfg, ter, s, a,
-                                          solve_gate=gate))(state, mean)
-        action = jnp.zeros((num_envs, env_mod.NUM_ACTIONS), jnp.float32)
-        wb = jnp.broadcast_to(default_w, (num_envs, 13))
-        return jax.vmap(
-            lambda s, a, w: env_mod.step(params, cfg, ter, s, a,
-                                         solve_gate=gate, weights=w))(
-            state, action, wb)
-
-    # the pinned command AND the seed are TRACED arguments, so command
-    # sweeps and multi-seed aggregation reuse one compiled program per arm
-    # (closure constants would force a ~minutes recompile per sweep point
-    # and per seed — 3-seed x 2-arm A/Bs went from 6 compiles to 2)
-    @jax.jit
-    def run(pinned_cmd, seed_arg):
-        keys = jax.random.split(jax.random.PRNGKey(seed_arg), num_envs)
-        state, obs = reset_batch(keys, pinned_cmd if commands is not None
-                                 else None)
+        obs = jax.vmap(lambda s: env_mod.observations(rparams, cfg, s))(
+            state)
 
         def body(carry, t):
             state, obs, fell = carry
@@ -111,8 +109,11 @@ def evaluate(params: RobotParams, cfg, ter: terrain_mod.Terrain,
 
     cmd_arg = (jnp.asarray(commands, jnp.float32) if commands is not None
                else jnp.zeros(3, jnp.float32))
+    # the default arm still needs a pytree for the pol_params slot; its
+    # graph never reads it, so pass an empty dict (stable cache key)
     out = {k: float(v) for k, v in
-           run(cmd_arg, jnp.int32(seed)).items()}
+           run(cmd_arg, jnp.int32(seed), params,
+               policy_params if policy_params is not None else {}).items()}
     out["num_envs"] = num_envs
     out["num_steps"] = num_steps
     return out
