@@ -124,6 +124,18 @@ def test_trained_beats_default_weights(policy):
     assert pol["falls"] <= dft["falls"], res
 
 
+def _campaign_dr():
+    """The rough-campaign DR recipe (cfg/dr_rough.yaml) — the distribution
+    the committed artifacts' A/B claims are measured under."""
+    import yaml
+
+    from rl_mpc_locomotion_tpu.sim import randomize
+    path = os.path.join(_ART, os.pardir, "cfg", "dr_rough.yaml")
+    with open(path) as f:
+        d = yaml.safe_load(f)
+    return randomize.from_dict(d["env"]["dr"])
+
+
 _ART = os.path.dirname(CKPT)
 ROUGH_ARTIFACTS = [
     ("aliengo", os.path.join(_ART, "aliengo_weight_policy_rough")),
@@ -149,12 +161,23 @@ def test_trained_rough_terrain_beats_default_weights(robot, ckpt):
     pol_rough = WeightPolicy(checkpoint=ckpt)
     params = {"aliengo": robots.aliengo_params, "go1": robots.go1_params,
               "a1": robots.a1_params}[robot]()
+    # base_init_height matches the training condition (scripts/
+    # run_campaigns.env_config): A1/Go1 stand ~0.30 m — dropping them from
+    # the Aliengo default height every reset evaluates crash landings, not
+    # locomotion (640 default-arm falls at 64x500 before this fix). The DR
+    # recipe is the campaign's (cfg/dr_rough.yaml) for the same reason:
+    # the artifact's A/B claim is made under that distribution.
+    kw = {"base_init_height": 0.3} if robot in ("a1", "go1") else {}
     cfg = EnvConfig(control=ControlConfig(
         qp=production_qp_config()._replace(use_pallas=False),
-        flat_ground=False), dr=DomainRandomization())
+        flat_ground=False), dr=_campaign_dr(), **kw)
+    # 64 envs x 500 steps: the flat gate's scale. 16x300 flips sign under
+    # ulp-level graph changes (r5: the a1 policy that wins its committed
+    # 3-seed 64x1000 A/B lost a 16x300 one) — the closed loop is chaotic
+    # and the margin statistical, so gate at the scale the artifact claims.
     res = eval_mod.ab_compare(params, cfg, terrain.random_uniform(),
                               pol_rough.params, pol_rough.model,
-                              num_envs=16, num_steps=300, seed=0)
+                              num_envs=64, num_steps=500, seed=0)
     pol, dft = res["policy"], res["default"]
     assert np.isfinite(pol["reward_per_step"])
     assert pol["reward_per_step"] >= dft["reward_per_step"], res
@@ -176,9 +199,11 @@ def test_mixed_policy_serves_every_robot(robot):
     from rl_mpc_locomotion_tpu.sim.env import EnvConfig, num_obs
     from rl_mpc_locomotion_tpu.sim.randomize import DomainRandomization
 
+    kw = {"base_init_height": 0.3} if robot in ("a1", "go1") else {}
     cfg = EnvConfig(control=ControlConfig(
         qp=production_qp_config()._replace(use_pallas=False),
-        flat_ground=False), dr=DomainRandomization(), obs_robot_id=True)
+        flat_ground=False), dr=_campaign_dr(), obs_robot_id=True,
+        **kw)
     pol = WeightPolicy(checkpoint=MIXED_CKPT, num_obs=num_obs(cfg))
     fresh = WeightPolicy(num_obs=num_obs(cfg))
     diffs = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
@@ -189,7 +214,7 @@ def test_mixed_policy_serves_every_robot(robot):
               "a1": robots.a1_params}[robot]()
     res = eval_mod.ab_compare(params, cfg, terrain.random_uniform(),
                               pol.params, pol.model,
-                              num_envs=16, num_steps=300, seed=0)
+                              num_envs=64, num_steps=500, seed=0)
     p, d = res["policy"], res["default"]
     assert np.isfinite(p["reward_per_step"])
     assert p["reward_per_step"] >= d["reward_per_step"], res
