@@ -155,13 +155,19 @@ def _aggregate(runs, seeds):
 def ab_compare(params: RobotParams, cfg, ter, policy_params,
                model: Optional[ActorCritic] = None, num_envs: int = 64,
                num_steps: int = 500, seed: int = 0,
-               command_sweep=None, seeds=None) -> dict:
+               command_sweep=None, seeds=None,
+               default_runs=None) -> dict:
     """Both arms under identical conditions; optional command sweep and
     multi-seed aggregation.
 
     seeds: iterable of eval seeds (None = (seed,)). Means +-95% CI are
     reported per arm. Returns {"policy": ..., "default": ...,
     "sweep": [...], "policy_beats_default": bool, "win_criteria": ...}.
+
+    default_runs: per-seed evaluate() results for the default arm, if the
+    caller already has them — the default arm does not depend on the
+    policy checkpoint, so sweeps over candidate checkpoints (scripts/
+    extend_and_select.py) compute it once and halve their eval count.
 
     The win criterion is reward AND no-regression on survival and falls
     (VERDICT r4 weak #1: a reward-only gate certified a Go1 policy that
@@ -170,13 +176,14 @@ def ab_compare(params: RobotParams, cfg, ter, policy_params,
     """
     if seeds is None:
         seeds = (seed,)
+    if default_runs is None:
+        default_runs = [evaluate(params, cfg, ter, None, model, num_envs,
+                                 num_steps, s) for s in seeds]
     res = {
         "policy": _aggregate([evaluate(params, cfg, ter, policy_params,
                                        model, num_envs, num_steps, s)
                               for s in seeds], seeds),
-        "default": _aggregate([evaluate(params, cfg, ter, None, model,
-                                        num_envs, num_steps, s)
-                               for s in seeds], seeds),
+        "default": _aggregate(list(default_runs), seeds),
     }
     if command_sweep is not None:
         rows = []

@@ -63,78 +63,114 @@ def main() -> None:
     from rl_mpc_locomotion_tpu.sim.env import num_obs
 
     c = CAMPAIGNS[args.campaign]
-    assert c.robot != "mixed", "per-robot campaigns only"
     out_dir = os.path.join(ART, c.name)
     base_step = max(candidates(out_dir))
 
     # ---- 1. extend (resume = true continuation) ------------------------
     if args.extra > 0:
-        ecfg = env_config(c.terrain, c.dr, c.curriculum, robot=c.robot,
+        ecfg = env_config(c.terrain, c.dr, c.curriculum,
+                          robot=(None if c.robot == "mixed" else c.robot),
                           obs_robot_id=c.obs_robot_id,
                           leg_coupling=c.leg_coupling)
         cfg = train_mod.TrainConfig(num_envs=c.num_envs,
                                     max_iterations=args.extra, seed=c.seed,
                                     ppo=PPOConfig(), env=ecfg)
-        params = ROBOT_PARAMS[c.robot]()
+        if c.robot == "mixed":
+            ids = ([0, 1, 2] * (c.num_envs // 3 + 1))[:c.num_envs]
+            params = train_mod.stacked_robot_params(ids)
+        else:
+            params = ROBOT_PARAMS[c.robot]()
         train_mod.train(params, cfg, make_terrain(c.terrain),
                         checkpoint_dir=out_dir, log_dir=out_dir,
                         resume_from=out_dir, max_iterations=args.extra)
 
     # ---- 2./3. selection over all candidates ---------------------------
-    ecfg_eval = env_config(c.terrain, c.dr, curriculum=False, robot=c.robot,
-                           obs_robot_id=c.obs_robot_id,
-                           leg_coupling=c.leg_coupling)
-    params = ROBOT_PARAMS[c.robot]()
+    eval_robots = (["aliengo", "go1", "a1"] if c.robot == "mixed"
+                   else [c.robot])
     ter = make_terrain(c.terrain)
     sel_seeds = tuple(int(s) for s in args.sel_seeds.split(","))
     hold_seeds = tuple(int(s) for s in args.holdout_seeds.split(","))
 
+    _default_cache = {}  # (robot, seeds) -> per-seed default-arm runs
+
     def ab(step, seeds):
-        pol = WeightPolicy(checkpoint=os.path.join(out_dir, f"model_{step}"),
-                           num_obs=num_obs(ecfg_eval))
-        return eval_mod.ab_compare(params, ecfg_eval, ter, pol.params,
-                                   pol.model, num_envs=args.envs,
-                                   num_steps=args.steps, seeds=seeds)
+        """{robot: ab_compare result} for one checkpoint. The default arm
+        is checkpoint-independent — computed once per (robot, seeds)."""
+        out = {}
+        for robot in eval_robots:
+            ecfg = env_config(c.terrain, c.dr, curriculum=False, robot=robot,
+                              obs_robot_id=c.obs_robot_id,
+                              leg_coupling=c.leg_coupling)
+            rparams = ROBOT_PARAMS[robot]()
+            key = (robot, seeds)
+            if key not in _default_cache:
+                _default_cache[key] = [
+                    eval_mod.evaluate(rparams, ecfg, ter, None, None,
+                                      args.envs, args.steps, s)
+                    for s in seeds]
+            pol = WeightPolicy(
+                checkpoint=os.path.join(out_dir, f"model_{step}"),
+                num_obs=num_obs(ecfg))
+            out[robot] = eval_mod.ab_compare(
+                rparams, ecfg, ter, pol.params, pol.model,
+                num_envs=args.envs, num_steps=args.steps, seeds=seeds,
+                default_runs=_default_cache[key])
+        return out
+
+    def score(res):
+        """(#wins, min survival margin, sum reward margin) across robots."""
+        wins = sum(r["policy_beats_default"] for r in res.values())
+        surv = min(r["policy"]["survival_rate"]
+                   - r["default"]["survival_rate"] for r in res.values())
+        rew = sum(r["policy"]["reward_per_step"]
+                  - r["default"]["reward_per_step"] for r in res.values())
+        return (wins, surv, rew)
 
     cands = candidates(out_dir)
     if args.last_k > 0:
         cands = cands[-args.last_k:]
     scores = []
     for step in cands:
-        r = ab(step, sel_seeds)
-        p, d = r["policy"], r["default"]
-        key = (r["policy_beats_default"],
-               p["survival_rate"] - d["survival_rate"],
-               p["reward_per_step"] - d["reward_per_step"])
-        scores.append((key, step, r))
-        print(f"model_{step}: win={r['policy_beats_default']} "
-              f"surv {p['survival_rate']:.3f} vs {d['survival_rate']:.3f} "
-              f"rew {p['reward_per_step']:.5f} vs {d['reward_per_step']:.5f}",
-              flush=True)
+        res = ab(step, sel_seeds)
+        scores.append((score(res), step, res))
+        for robot, r in res.items():
+            p, d = r["policy"], r["default"]
+            print(f"model_{step} [{robot}]: win={r['policy_beats_default']} "
+                  f"surv {p['survival_rate']:.3f} vs {d['survival_rate']:.3f} "
+                  f"rew {p['reward_per_step']:.5f} vs "
+                  f"{d['reward_per_step']:.5f}", flush=True)
     scores.sort(key=lambda t: t[0])
     best_key, best_step, best_sel = scores[-1]
 
     # ---- 4. held-out report for the winner only ------------------------
     final = ab(best_step, hold_seeds)
-    final["selection"] = {
+    selection = {
         "protocol": f"best of {len(scores)} checkpoints on seeds "
                     f"{list(sel_seeds)}; reported on held-out seeds "
-                    f"{list(hold_seeds)}",
+                    f"{list(hold_seeds)}; mixed score = (#robot wins, min "
+                    f"survival margin, sum reward margin)",
         "base_step": base_step, "chosen_step": best_step,
         "candidates": [
-            {"step": s, "win": r["policy_beats_default"],
-             "survival": r["policy"]["survival_rate"],
-             "survival_default": r["default"]["survival_rate"],
-             "reward": r["policy"]["reward_per_step"]}
-            for _, s, r in scores],
+            {"step": s,
+             "wins": sum(r["policy_beats_default"] for r in res.values()),
+             "survival": {rb: r["policy"]["survival_rate"]
+                          for rb, r in res.items()},
+             "survival_default": {rb: r["default"]["survival_rate"]
+                                  for rb, r in res.items()},
+             "reward": {rb: r["policy"]["reward_per_step"]
+                        for rb, r in res.items()}}
+            for _, s, res in scores],
     }
-    with open(os.path.join(out_dir, "eval_ab.json"), "w") as f:
-        json.dump(final, f, indent=1)
-    p, d = final["policy"], final["default"]
-    print(f"[extend_and_select {args.campaign}] chose model_{best_step}: "
-          f"held-out win={final['policy_beats_default']} "
-          f"surv {p['survival_rate']:.3f} vs {d['survival_rate']:.3f} "
-          f"falls {p['falls']:.0f} vs {d['falls']:.0f}", flush=True)
+    for robot, r in final.items():
+        r["selection"] = selection
+        suffix = f"_{robot}" if c.robot == "mixed" else ""
+        with open(os.path.join(out_dir, f"eval_ab{suffix}.json"), "w") as f:
+            json.dump(r, f, indent=1)
+        p, d = r["policy"], r["default"]
+        print(f"[extend_and_select {args.campaign}] model_{best_step} "
+              f"[{robot}] held-out win={r['policy_beats_default']} "
+              f"surv {p['survival_rate']:.3f} vs {d['survival_rate']:.3f} "
+              f"falls {p['falls']:.0f} vs {d['falls']:.0f}", flush=True)
 
     # ---- 5. prune ------------------------------------------------------
     keep = {f"model_{best_step}", f"model_{best_step}_env"}
