@@ -38,7 +38,7 @@ ENVS_PER_DEVICE = 16        # sized for the 2-core CI box (wall time); the
                             # overhead ratio, not absolute time, is the result
 ROLLOUT_STEPS = 24          # the production rsl_rl schedule
 WARMUP_ITERS = 1
-TIMED_ITERS = 3
+TIMED_ITERS = 5
 
 
 def _worker(n_devices: int) -> None:
@@ -140,6 +140,11 @@ def main() -> None:
                        "sharding_overhead_pct isolates shard_map+collective "
                        "cost vs the identical unsharded computation",
         "platform": "cpu (virtual devices; real ICI not available)",
+        "cores": os.cpu_count(),
+        "note": "rows with n_devices <= cores measure sharding overhead; "
+                "rows with n_devices > cores are dominated by oversubscribed "
+                "collective rendezvous on the shared host cores and bound "
+                "nothing about real ICI",
         "rows": rows,
     }
     with open(os.path.join(ROOT, "MULTIDEV.json"), "w") as f:
