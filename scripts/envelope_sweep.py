@@ -36,7 +36,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 import numpy as np
 
-VX_GRID = np.linspace(-2.5, 2.5, 11)
+VX_GRID = np.linspace(-2.5, 2.5, 9)
 YAW_GRID = np.linspace(-2.0, 2.0, 5)
 
 

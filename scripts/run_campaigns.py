@@ -213,14 +213,15 @@ def run(key: str):
     train_campaign(c, out_dir)
     plot_curve(out_dir)
     eval_campaign(c, out_dir)
-    # keep only the final checkpoint in the artifact
-    kept = f"model_{c.iterations}"
+    # keep the final checkpoint plus the last few candidates (so
+    # extend_and_select can pick a better snapshot without retraining);
+    # final pruning to the shipped checkpoint happens at selection time
+    keep_from = (c.iterations // 100 - 5) * 100
     for entry in os.listdir(out_dir):
-        if entry.startswith("model_") and entry != kept and \
-                not entry.endswith("_env"):
-            shutil.rmtree(os.path.join(out_dir, entry), ignore_errors=True)
-        if entry.startswith("model_") and entry.endswith("_env") and \
-                entry != kept + "_env":
+        if not entry.startswith("model_"):
+            continue
+        step = int(entry.split("_")[1])
+        if step <= keep_from:
             shutil.rmtree(os.path.join(out_dir, entry), ignore_errors=True)
     print(f"[campaign {key}] artifact at {out_dir}")
 
